@@ -1,0 +1,159 @@
+"""Differentiable bilinear warping (grid sampling) — NHWC, TPU-native.
+
+This is the hot op of the whole framework: the reference uses
+``F.grid_sample(images, grid, mode='bilinear')`` (PyTorch 1.5 defaults:
+``padding_mode='zeros'``, ``align_corners=False``) for
+
+  * warping profile pixels/features to the frontal pose with the predicted
+    flow (reference: models/base_networks.py:168-173, WarpNet),
+  * cropping landmark-centered facial-part patches
+    (reference: models/ffwm_model.py:217-246),
+  * the center-crop grid of the identity loss
+    (reference: models/losses.py:102-112).
+
+Semantics match torch exactly:
+  * grids are absolute sampling positions in [-1, 1]; channel 0 is x
+    (width), channel 1 is y (height),
+  * ``align_corners=False``: ``x_pix = ((x + 1) * W - 1) / 2`` — i.e. -1/+1
+    map to the *edges* of the corner pixels,
+  * zeros padding: out-of-bounds taps contribute 0 (each of the 4 bilinear
+    taps is masked independently),
+  * the VJP w.r.t. the image is the transposed (scatter-add) gather; the VJP
+    w.r.t. the grid is the analytic derivative of the bilinear weights. Both
+    come from JAX autodiff of this formulation and are deterministic on TPU.
+
+Layout note: unlike the torch reference (NCHW images, [B,2,H,W] flows), this
+framework is NHWC-native: images are [B,H,W,C], grids/flows are [B,H,W,2].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _unnormalize(coord: jax.Array, size: int, align_corners: bool) -> jax.Array:
+    """Map [-1, 1] grid coordinates to pixel coordinates (torch convention)."""
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def _gather_2d(flat_img: jax.Array, ix: jax.Array, iy: jax.Array, w: int) -> jax.Array:
+    """Gather pixels at integer coords from [B, H*W, C] image.
+
+    ix/iy: [B, N] int32 (already clamped in-bounds). Returns [B, N, C].
+    """
+    lin = iy * w + ix
+    return jnp.take_along_axis(flat_img, lin[..., None], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "align_corners"))
+def grid_sample(
+    image: jax.Array,
+    grid: jax.Array,
+    mode: str = "bilinear",
+    align_corners: bool = False,
+) -> jax.Array:
+    """Sample ``image`` [B,H,W,C] at ``grid`` [B,Hg,Wg,2] positions in [-1,1].
+
+    Returns [B,Hg,Wg,C]. Zeros padding. Matches
+    ``torch.nn.functional.grid_sample`` with NCHW<->NHWC transposed layouts.
+    """
+    b, h, w, c = image.shape
+    _, hg, wg, two = grid.shape
+    assert two == 2, f"grid last dim must be 2 (x, y), got {two}"
+
+    gx = grid[..., 0].reshape(b, -1)
+    gy = grid[..., 1].reshape(b, -1)
+    ix = _unnormalize(gx, w, align_corners)
+    iy = _unnormalize(gy, h, align_corners)
+
+    flat = image.reshape(b, h * w, c)
+
+    if mode == "nearest":
+        # torch uses nearbyint (round-half-to-even); jnp.round matches.
+        x0 = jnp.round(ix).astype(jnp.int32)
+        y0 = jnp.round(iy).astype(jnp.int32)
+        valid = (x0 >= 0) & (x0 <= w - 1) & (y0 >= 0) & (y0 <= h - 1)
+        x0c = jnp.clip(x0, 0, w - 1)
+        y0c = jnp.clip(y0, 0, h - 1)
+        out = _gather_2d(flat, x0c, y0c, w) * valid[..., None].astype(image.dtype)
+        return out.reshape(b, hg, wg, c)
+
+    if mode != "bilinear":
+        raise NotImplementedError(f"grid_sample mode {mode!r}")
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx = ix - x0
+    wy = iy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = x0i + 1
+    y1i = y0i + 1
+
+    def tap(xi, yi, weight):
+        valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        yc = jnp.clip(yi, 0, h - 1)
+        wgt = weight * valid.astype(image.dtype)
+        return _gather_2d(flat, xc, yc, w) * wgt[..., None]
+
+    one = jnp.asarray(1.0, image.dtype)
+    wx = wx.astype(image.dtype)
+    wy = wy.astype(image.dtype)
+    out = (
+        tap(x0i, y0i, (one - wx) * (one - wy))
+        + tap(x1i, y0i, wx * (one - wy))
+        + tap(x0i, y1i, (one - wx) * wy)
+        + tap(x1i, y1i, wx * wy)
+    )
+    return out.reshape(b, hg, wg, c)
+
+
+def warp(image: jax.Array, flow: jax.Array, mode: str = "bilinear") -> jax.Array:
+    """Warp ``image`` [B,H,W,C] with ``flow`` [B,Hf,Wf,2] sampling grid in [-1,1].
+
+    TPU-native equivalent of the reference ``WarpNet``
+    (models/base_networks.py:168-173): the flow *is* the sampling grid
+    (absolute positions, not motion vectors).
+    """
+    return grid_sample(image, flow, mode=mode, align_corners=False)
+
+
+def build_patch_grid(centers: jax.Array, d: int, half_size: float = 64.0) -> jax.Array:
+    """Build landmark-centered square sampling grids.
+
+    ``centers``: [B, 1, 2] pixel coords (x, y) in [0, 2*half_size - 1].
+    Returns a [B, d, d, 2] grid in [-1, 1] that crops a d x d patch centered
+    at each landmark when passed to :func:`grid_sample`.
+
+    Mirrors the reference's grid construction (models/ffwm_model.py:234-246):
+    ``base`` spans [-d//2, d//2] in *d* steps and the grid is
+    ``(base + center - 64) / 64``.
+    """
+    b = centers.shape[0]
+    r = d // 2
+    base_x = jnp.linspace(-r, r, d, dtype=jnp.float32)  # [d]
+    base = jnp.stack(
+        [
+            jnp.broadcast_to(base_x[None, :], (d, d)),  # x varies along width
+            jnp.broadcast_to(base_x[:, None], (d, d)),  # y varies along height
+        ],
+        axis=-1,
+    )  # [d, d, 2]
+    bias = centers.reshape(b, 1, 1, 2).astype(jnp.float32) - half_size
+    return (base[None] + bias) / half_size
+
+
+def center_crop_grid(batch: int, d: int = 98, cx: float = 64.0, cy: float = 77.0) -> jax.Array:
+    """The fixed face-center crop grid used by the identity loss.
+
+    Matches the reference IdentityLoss.build_grid (models/losses.py:102-112):
+    a d x d patch centered at pixel (64, 77), normalized by 64.
+    """
+    centers = jnp.broadcast_to(jnp.asarray([[cx, cy]], jnp.float32), (batch, 2))
+    return build_patch_grid(centers.reshape(batch, 1, 2), d)

@@ -1,0 +1,93 @@
+"""Resize + box/guided filter parity vs torch public API and numpy oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from ffwm_tpu.ops import (
+    box_filter,
+    fast_guided_filter,
+    guided_filter,
+    resize_bilinear,
+    resize_nearest,
+)
+
+
+def _t(x_nhwc):
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+
+
+def _n(x_nchw):
+    return np.transpose(x_nchw.numpy(), (0, 2, 3, 1))
+
+
+@pytest.mark.parametrize("size", [(64, 64), (32, 32), (17, 23), (128, 128), (200, 150)])
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_resize_bilinear_matches_torch(rng, size, align_corners):
+    x = rng.rand(2, 128, 128, 3).astype(np.float32)
+    ours = np.asarray(resize_bilinear(jnp.asarray(x), size, align_corners))
+    ref = _n(F.interpolate(_t(x), size, mode="bilinear", align_corners=align_corners))
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("size", [(64, 64), (32, 32), (13, 27), (200, 99)])
+def test_resize_nearest_matches_torch(rng, size):
+    x = rng.rand(2, 128, 128, 1).astype(np.float32)
+    ours = np.asarray(resize_nearest(jnp.asarray(x), size))
+    ref = _n(F.interpolate(_t(x), size, mode="nearest"))
+    np.testing.assert_allclose(ours, ref, atol=0, rtol=0)
+
+
+def _box_oracle(x, r):
+    """Brute-force truncated-window box sum (numpy)."""
+    b, h, w, c = x.shape
+    out = np.zeros_like(x)
+    for i in range(h):
+        for j in range(w):
+            y0, y1 = max(0, i - r), min(h, i + r + 1)
+            x0, x1 = max(0, j - r), min(w, j + r + 1)
+            out[:, i, j] = x[:, y0:y1, x0:x1].sum(axis=(1, 2))
+    return out
+
+
+@pytest.mark.parametrize("r", [1, 3, 8])
+def test_box_filter_matches_bruteforce(rng, r):
+    x = rng.rand(1, 24, 20, 2).astype(np.float32)
+    ours = np.asarray(box_filter(jnp.asarray(x), r))
+    np.testing.assert_allclose(ours, _box_oracle(x, r), atol=1e-3, rtol=1e-4)
+
+
+def _guided_oracle(x, y, r, eps=1e-8):
+    n = _box_oracle(np.ones((1,) + x.shape[1:3] + (1,), np.float32), r)
+    mean_x = _box_oracle(x, r) / n
+    mean_y = _box_oracle(y, r) / n
+    cov = _box_oracle(x * y, r) / n - mean_x * mean_y
+    var = _box_oracle(x * x, r) / n - mean_x * mean_x
+    a = cov / (var + eps)
+    b = mean_y - a * mean_x
+    return _box_oracle(a, r) / n * x + _box_oracle(b, r) / n
+
+
+def test_guided_filter_matches_bruteforce(rng):
+    x = rng.rand(2, 32, 32, 3).astype(np.float32)
+    y = np.clip(x + 0.1 * rng.randn(2, 32, 32, 3).astype(np.float32), 0, 1)
+    ours = np.asarray(guided_filter(jnp.asarray(x), jnp.asarray(y), r=8))
+    np.testing.assert_allclose(ours, _guided_oracle(x, y, 8), atol=2e-3, rtol=1e-3)
+
+
+def test_guided_filter_identity_when_x_equals_y(rng):
+    """GF(x, x) ~ x (A -> 1, b -> 0 up to eps regularization)."""
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)
+    out = np.asarray(guided_filter(jnp.asarray(x), jnp.asarray(x), r=8))
+    np.testing.assert_allclose(out, x, atol=1e-3)
+
+
+def test_fast_guided_filter_runs(rng):
+    lr_x = rng.rand(1, 32, 32, 3).astype(np.float32)
+    lr_y = rng.rand(1, 32, 32, 3).astype(np.float32)
+    hr_x = rng.rand(1, 128, 128, 3).astype(np.float32)
+    out = fast_guided_filter(jnp.asarray(lr_x), jnp.asarray(lr_y), jnp.asarray(hr_x), r=4)
+    assert out.shape == (1, 128, 128, 3)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,113 @@
+"""FlowNet trainer — one jitted step.
+
+Rebuild of FlowNetModel (models/flownet_model.py): Adam(4e-4, betas 0.5/0.999)
+on 20 * PerceptualCorrectness + 0.01 * MultiAffineRegularization +
+MultiScaleLD landmark loss. Reverse mode trains the frontal->profile flow by
+swapping the roles of S/F in the *batch* (done by the data adapter, like
+set_train_input :39-54) while the net always consumes the profile image.
+
+TPU design: the whole optimize_parameters() of the reference (forward +
+3 losses + backward + Adam) is ONE compiled XLA program; batches arrive
+sharded over the data mesh axis and XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ffwm_tpu.engine.common import NetState, adam, apply_mutable
+from ffwm_tpu.losses import (
+    correctness_loss,
+    multi_affine_regularization_loss,
+    multiscale_landmark_loss,
+)
+from ffwm_tpu.models import FlowNet, VGG19Features
+from ffwm_tpu.ops.warp import warp
+
+
+@flax.struct.dataclass
+class FlowTrainState:
+    net: NetState
+    opt_state: Any
+    step: jax.Array
+
+
+def create_flow_train_state(rng: jax.Array, lr: float = 4e-4,
+                            image_size: int = 128) -> Tuple[FlowNet, FlowTrainState, optax.GradientTransformation]:
+    model = FlowNet()
+    x = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    variables = model.init(rng, x, train=True)
+    net = NetState.from_variables(variables)
+    tx = adam(lr)
+    opt_state = tx.init(net.params)
+    return model, FlowTrainState(net=net, opt_state=opt_state,
+                                 step=jnp.zeros((), jnp.int32)), tx
+
+
+def make_flow_train_step(
+    model: FlowNet,
+    tx: optax.GradientTransformation,
+    vgg_apply: Callable[[jax.Array], Dict[str, jax.Array]] = None,
+    reverse: bool = False,
+    loss_weights: Tuple[float, float] = (20.0, 0.01),
+):
+    """Returns jitted step(state, batch, vgg_vars) -> (state, metrics).
+
+    batch keys (already role-swapped for reverse mode by the data adapter):
+      img_S, img_F [B,H,W,3]; lm_S, lm_F [B,580,2] int32; gate [B,580,2];
+      mask [B,H,W,1].
+    """
+    vgg = VGG19Features(max_layer="relu3_1")
+    w_cor, w_reg = loss_weights
+
+    def loss_fn(params, extra, batch, vgg_vars):
+        net = NetState(params=params, extra=extra)
+        flow_in = batch["img_F"] if reverse else batch["img_S"]
+        (f128, f64, f32), new_net = apply_mutable(model, net, flow_in, train=True)
+
+        feats = lambda img: vgg.apply(vgg_vars, img)
+        loss_cor = correctness_loss(
+            feats, batch["img_F"], batch["img_S"], [f32, f64, f128],
+            [2, 1, 0], norm_mask=batch["mask"],
+        ) * w_cor
+        loss_reg = multi_affine_regularization_loss([f32, f64, f128]) * w_reg
+        loss_lm = multiscale_landmark_loss(
+            [f128, f64, f32], batch["lm_S"], batch["lm_F"], batch["gate"])
+        loss = loss_cor + loss_reg + loss_lm
+        metrics = {
+            "loss": loss, "loss_cor": loss_cor,
+            "loss_reg": loss_reg, "loss_lm": loss_lm,
+        }
+        return loss, (new_net, metrics)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: FlowTrainState, batch, vgg_vars):
+        grads, (new_net, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.net.params, state.net.extra, batch, vgg_vars)
+        updates, new_opt = tx.update(grads, state.opt_state, state.net.params)
+        new_params = optax.apply_updates(state.net.params, updates)
+        new_state = FlowTrainState(
+            net=NetState(params=new_params, extra=new_net.extra),
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_flow_eval_step(model: FlowNet):
+    """jitted (variables, img) -> (flow128, warped) for visuals/eval."""
+
+    @jax.jit
+    def eval_step(variables, img_s):
+        f128, _, _ = model.apply(variables, img_s, train=False)
+        return f128, warp(img_s, f128)
+
+    return eval_step

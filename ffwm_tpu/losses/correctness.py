@@ -1,0 +1,113 @@
+"""PerceptualCorrectness — flow supervision without ground-truth flow.
+
+Rebuild of the reference (models/losses.py:322-371, from
+Global-Flow-Local-Attention): for each scale, compute the cosine-similarity
+matrix between all source and target VGG feature positions, take the
+per-target max as the achievable similarity, compare it with the similarity
+actually achieved by the flow-warped source, and penalize
+``exp(-achieved / max)``.
+
+TPU-native design: the reference materializes the full [B, N^2, N^2]
+similarity matrix via ``torch.bmm`` (1 GB/sample at relu1_1 on 128 px
+inputs). Only the per-target **max** is needed, so we stream the matmul over
+source chunks with ``lax.scan``, carrying a running max — O(N) memory, same
+MXU FLOPs, numerically identical result (max is exact, not approximated).
+
+Parity details preserved:
+  * flows are resized to the feature resolution with **nearest** (the
+    reference's F.interpolate default, models/losses.py:345),
+  * masks likewise (:366),
+  * loss normalization subtracts exp(-1) (:364, :368).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ffwm_tpu.ops.resize import resize_nearest
+from ffwm_tpu.ops.warp import warp
+
+_EPS = 1e-8
+
+CORRECTNESS_LAYERS = ("relu1_1", "relu2_1", "relu3_1", "relu4_1")
+
+
+def _rowmax_exact(source_n: jax.Array, target_n: jax.Array, chunk: int = 2048) -> jax.Array:
+    """max over source positions of (source_n @ target_n): [B,N,C]x[B,C,M]->[B,M].
+
+    Streams over N in chunks with lax.scan so the [B, N, M] similarity matrix
+    never materializes. Ragged N is padded with copies of row 0 (a real row),
+    keeping the max exact.
+    """
+    b, n, c = source_n.shape
+    m = target_n.shape[-1]
+    if n <= chunk:
+        sim = jnp.einsum("bnc,bcm->bnm", source_n, target_n,
+                         preferred_element_type=jnp.float32)
+        return jnp.max(sim, axis=1)
+
+    pad = (-n) % chunk
+    if pad:
+        filler = jnp.broadcast_to(source_n[:, :1, :], (b, pad, c))
+        source_n = jnp.concatenate([source_n, filler], axis=1)
+    n_chunks = source_n.shape[1] // chunk
+    chunks = source_n.reshape(b, n_chunks, chunk, c).transpose(1, 0, 2, 3)
+
+    def body(carry, src_chunk):
+        sim = jnp.einsum("bnc,bcm->bnm", src_chunk, target_n,
+                         preferred_element_type=jnp.float32)
+        return jnp.maximum(carry, jnp.max(sim, axis=1)), None
+
+    init = jnp.full((b, m), -jnp.inf, jnp.float32)
+    rowmax, _ = jax.lax.scan(body, init, chunks)
+    return rowmax
+
+
+def correctness_loss(
+    feats: Callable[[jax.Array], Dict[str, jax.Array]],
+    target: jax.Array,
+    source: jax.Array,
+    flow_list: Sequence[jax.Array],
+    used_layers: Sequence[int],
+    norm_mask: Optional[jax.Array] = None,
+    layers: Sequence[str] = CORRECTNESS_LAYERS,
+    chunk: int = 2048,
+) -> jax.Array:
+    """flow_list: sampling grids [B,h,w,2] coarsest-first ([fl32,fl64,fl128]
+    with used_layers [2,1,0] in the reference flow trainer,
+    models/flownet_model.py:67)."""
+    used = sorted(used_layers, reverse=True)
+    tf = feats(target)
+    sf = feats(source)
+    loss = jnp.asarray(0.0, jnp.float32)
+    for i, flow in enumerate(flow_list):
+        layer = layers[used[i]]
+        t = tf[layer]
+        s = sf[layer]
+        b, h, w, c = t.shape
+        fl = resize_nearest(flow, (h, w))
+
+        t_all = t.reshape(b, h * w, c)                      # [B, M, C]
+        s_all = s.reshape(b, h * w, c)                      # [B, N, C]
+        s_norm = s_all / (jnp.linalg.norm(s_all, axis=2, keepdims=True) + _EPS)
+        t_norm = t_all / (jnp.linalg.norm(t_all, axis=2, keepdims=True) + _EPS)
+        corr_max = _rowmax_exact(s_norm, t_norm.transpose(0, 2, 1), chunk)  # [B, M]
+
+        sampled = warp(s, fl).reshape(b, h * w, c)          # bilinear grid warp
+        num = jnp.sum(sampled * t_all, axis=2)
+        den = jnp.linalg.norm(sampled, axis=2) * jnp.linalg.norm(t_all, axis=2)
+        # torch cosine_similarity clamps the denominator at eps
+        corr_sample = num / jnp.maximum(den, _EPS)
+
+        loss_map = jnp.exp(-corr_sample / (corr_max + _EPS))
+        if norm_mask is None:
+            loss = loss + jnp.mean(loss_map) - jnp.exp(jnp.asarray(-1.0))
+        else:
+            m = resize_nearest(norm_mask, (h, w)).reshape(-1, h * w)
+            loss = loss + (jnp.sum(m * loss_map) - jnp.exp(jnp.asarray(-1.0))) / (
+                jnp.sum(m) + _EPS
+            )
+    return loss

@@ -1,0 +1,72 @@
+"""Device mesh + sharding helpers — the distributed runtime of ffwm_tpu.
+
+The reference has no distributed execution (SURVEY.md §2.7: single GPU, a
+vestigial DataParallel). The TPU-native replacement is GSPMD data
+parallelism: one ``data`` mesh axis over the slice, batches sharded on their
+leading axis, parameters replicated, and gradient/BatchNorm reductions
+inserted by XLA as ICI collectives (psum/all-reduce) — no NCCL, no process
+groups, no explicit gradient averaging.
+
+For multi-host slices the same code works: `jax.distributed.initialize()` +
+per-host batch construction with `make_host_array` below.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put a pytree of host arrays with the batch axis sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree (params/optimizer state) across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def make_host_array(global_shape, mesh: Mesh, local_data: np.ndarray):
+    """Multi-host entry: assemble a globally-sharded array from this host's
+    shard (wraps jax.make_array_from_process_local_data)."""
+    sh = batch_sharding(mesh)
+    return jax.make_array_from_process_local_data(sh, local_data, global_shape)
+
+
+def pad_to_multiple(batch: Any, multiple: int):
+    """Pad the leading axis of every array to a multiple (uneven final
+    batches can't shard); returns (padded_batch, real_count)."""
+    leaves = jax.tree.leaves(batch)
+    n = leaves[0].shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return batch, n
+
+    def _pad(x):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, widths, mode="edge")
+
+    return jax.tree.map(_pad, batch), n

@@ -7,7 +7,10 @@ hardware. Must set the env vars before jax initializes its backends.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of the ambient platform (the dev box exports
+# JAX_PLATFORMS=axon for the tunneled TPU chip; tests must be hermetic and
+# exercise the virtual 8-device mesh).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,7 +19,17 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# jax may already be imported by a pytest plugin, capturing the ambient
+# JAX_PLATFORMS at import time — override via config (effective until
+# backends are initialized).
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # XLA_FLAGS above covers older jax
 jax.config.update("jax_enable_x64", False)
+# Parity tests compare against torch fp32; keep matmul/conv at full fp32.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,230 @@
+"""Loss semantics tests (torch public-API / numpy oracles; the reference's
+losses.py cannot be imported offline — it needs torchvision — so oracles are
+reimplemented here from public building blocks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from ffwm_tpu.losses import (
+    affine_regularization_loss,
+    correctness_loss,
+    gan_loss,
+    identity_loss,
+    illumination_loss,
+    landmark_loss,
+    multi_affine_regularization_loss,
+    multiscale_landmark_loss,
+    perceptual_loss,
+)
+from ffwm_tpu.losses.correctness import _rowmax_exact
+
+
+# ------------------------------------------------------------------- GAN ---
+def test_lsgan_matches_mse(rng):
+    pred = rng.randn(2, 16, 16, 1).astype(np.float32)
+    ours_real = float(gan_loss(jnp.asarray(pred), True, "lsgan"))
+    ours_fake = float(gan_loss(jnp.asarray(pred), False, "lsgan"))
+    t = torch.from_numpy(pred)
+    np.testing.assert_allclose(ours_real, float(F.mse_loss(t, torch.ones_like(t))), rtol=1e-6)
+    np.testing.assert_allclose(ours_fake, float(F.mse_loss(t, torch.zeros_like(t))), rtol=1e-6)
+
+
+def test_gan_modes_finite(rng):
+    pred = jnp.asarray(rng.randn(2, 8, 8, 1).astype(np.float32))
+    for mode in ["lsgan", "vanilla", "hinge", "wgangp", "dcgan"]:
+        for real in (True, False):
+            v = float(gan_loss(pred, real, mode, for_dis=True))
+            assert np.isfinite(v), (mode, real)
+    # sigmoid-range input for nsgan
+    p = jax.nn.sigmoid(pred)
+    assert np.isfinite(float(gan_loss(p, True, "nsgan")))
+
+
+def test_hinge_matches_reference_formula(rng):
+    pred = rng.randn(3, 4, 4, 1).astype(np.float32)
+    t = torch.from_numpy(pred)
+    ours = float(gan_loss(jnp.asarray(pred), True, "hinge", for_dis=True))
+    ref = float(torch.relu(1 - t).mean())
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+# -------------------------------------------------------------- landmark ---
+def _landmark_oracle(flow_nhwc, lm_s, lm_f, gate):
+    """torch gather oracle of the reference LandmarkLoss (losses.py:61-74)."""
+    flow = torch.from_numpy(np.ascontiguousarray(flow_nhwc.transpose(0, 3, 1, 2)))
+    b, _, s, _ = flow.shape
+    flow_view = flow.transpose(1, 2).transpose(2, 3).reshape(b, -1, 2)
+    lmf = torch.from_numpy(lm_f.astype(np.int64))
+    lms = torch.from_numpy(lm_s.astype(np.int64))
+    index = lmf[:, :, 0:1] + lmf[:, :, 1:2] * s
+    index = torch.cat((index, index), 2)
+    pts = torch.gather(flow_view, 1, index)
+    gt = lms.float() / (s / 2.0) - 1
+    g = torch.from_numpy(gate)
+    return float(F.mse_loss(pts * g, gt * g))
+
+
+def test_landmark_loss_matches_oracle(rng):
+    s, n = 32, 20
+    flow = (rng.rand(2, s, s, 2).astype(np.float32) * 2) - 1
+    lm_s = rng.randint(0, s, (2, n, 2))
+    lm_f = rng.randint(0, s, (2, n, 2))
+    gate = (rng.rand(2, n, 2) > 0.3).astype(np.float32)
+    ours = float(landmark_loss(jnp.asarray(flow), jnp.asarray(lm_s),
+                               jnp.asarray(lm_f), jnp.asarray(gate)))
+    ref = _landmark_oracle(flow, lm_s, lm_f, gate)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_multiscale_landmark_weights(rng):
+    n = 10
+    flows = [jnp.asarray((rng.rand(1, s, s, 2).astype(np.float32) * 2) - 1)
+             for s in (128, 64, 32)]
+    lm_s = jnp.asarray(rng.randint(0, 128, (1, n, 2)))
+    lm_f = jnp.asarray(rng.randint(0, 128, (1, n, 2)))
+    gate = jnp.ones((1, n, 2), jnp.float32)
+    total = float(multiscale_landmark_loss(flows, lm_s, lm_f, gate))
+    parts = [
+        1000 * float(landmark_loss(flows[0], lm_s, lm_f, gate)),
+        1000 * float(landmark_loss(flows[1], lm_s // 2, lm_f // 2, gate)),
+        1500 * float(landmark_loss(flows[2], lm_s // 4, lm_f // 4, gate)),
+    ]
+    np.testing.assert_allclose(total, sum(parts), rtol=1e-5)
+
+
+# ---------------------------------------------------------- illumination ---
+def test_illumination_matches_torch_oracle(rng):
+    """Oracle built from torch grid_sample + align_corners=True interpolate."""
+    img_s = rng.rand(2, 128, 128, 3).astype(np.float32)
+    mask = (rng.rand(2, 128, 128, 1) > 0.3).astype(np.float32)
+    fakes, flows = [], []
+    for s in (128, 64, 32):
+        fakes.append(rng.rand(2, s, s, 3).astype(np.float32))
+        flows.append((rng.rand(2, s, s, 2).astype(np.float32) * 2) - 1)
+
+    ours = float(illumination_loss(
+        [jnp.asarray(f) for f in flows], [jnp.asarray(f) for f in fakes],
+        jnp.asarray(img_s), jnp.asarray(mask)))
+
+    t = lambda x: torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    ref = 0.0
+    for w, fake, flow in zip([1, 1, 1.5], fakes, flows):
+        s = flow.shape[1]
+        warped = F.grid_sample(t(fake), torch.from_numpy(flow), mode="bilinear",
+                               padding_mode="zeros", align_corners=False)
+        target = F.interpolate(t(img_s), (s, s), mode="bilinear", align_corners=True)
+        m = F.interpolate(t(mask), (s, s), mode="nearest")
+        ref += w * float(F.l1_loss(warped * m, target * m))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+# ----------------------------------------------------------- correctness ---
+def test_streaming_rowmax_equals_dense(rng):
+    b, n, c, m = 2, 700, 16, 300
+    s = rng.randn(b, n, c).astype(np.float32)
+    t = rng.randn(b, c, m).astype(np.float32)
+    dense = np.max(np.einsum("bnc,bcm->bnm", s, t), axis=1)
+    ours = np.asarray(_rowmax_exact(jnp.asarray(s), jnp.asarray(t), chunk=128))
+    np.testing.assert_allclose(ours, dense, rtol=1e-5, atol=1e-5)
+
+
+def test_correctness_loss_matches_manual_oracle(rng):
+    """Stub 'VGG' = identity on a downscaled image; oracle via torch bmm."""
+    h = w = 16
+    target = rng.rand(2, h, w, 3).astype(np.float32)
+    source = rng.rand(2, h, w, 3).astype(np.float32)
+    flow = ((rng.rand(2, h, w, 2).astype(np.float32) * 2) - 1) * 0.8
+    mask = (rng.rand(2, h, w, 1) > 0.2).astype(np.float32)
+
+    feats = lambda img: {"relu1_1": img}
+    ours = float(correctness_loss(feats, jnp.asarray(target), jnp.asarray(source),
+                                  [jnp.asarray(flow)], [0], jnp.asarray(mask),
+                                  chunk=64))
+
+    tt = lambda x: torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    tv, sv = tt(target), tt(source)
+    b, c = 2, 3
+    eps = 1e-8
+    t_all = tv.reshape(b, c, -1)
+    s_all = sv.reshape(b, c, -1).transpose(1, 2)
+    s_n = s_all / (s_all.norm(dim=2, keepdim=True) + eps)
+    t_n = t_all / (t_all.norm(dim=1, keepdim=True) + eps)
+    corr = torch.bmm(s_n, t_n)
+    corr_max = corr.max(dim=1)[0]
+    sampled = F.grid_sample(sv, torch.from_numpy(flow), mode="bilinear",
+                            padding_mode="zeros", align_corners=False).reshape(b, c, -1)
+    corr_sample = F.cosine_similarity(sampled, t_all, dim=1)
+    loss_map = torch.exp(-corr_sample / (corr_max + eps))
+    m = tt(mask).reshape(-1, h * w)
+    ref = float((torch.sum(m * loss_map) - np.exp(-1.0)) / (torch.sum(m) + eps))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+# ----------------------------------------------------------------- affine ---
+def test_affine_regularization_zero_for_affine_flow():
+    """An exactly-affine sampling grid has zero non-affine energy."""
+    h = w = 24
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    gx = 0.9 * xs / w + 0.05 * ys / h - 0.5
+    gy = -0.2 * xs / w + 1.1 * ys / h - 0.4
+    flow = np.stack([gx, gy], -1)[None].astype(np.float32)
+    val = float(affine_regularization_loss(jnp.asarray(flow), kz=3))
+    # the quadratic form is exactly 0 mathematically; fp32 cancellation at
+    # the x128 grid scale leaves ~1e-3 noise (the reference is identical)
+    assert abs(val) < 0.01, val
+
+
+def test_affine_regularization_positive_for_random_flow(rng):
+    flow = ((rng.rand(1, 24, 24, 2).astype(np.float32) * 2) - 1)
+    val = float(affine_regularization_loss(jnp.asarray(flow), kz=3))
+    assert val > 1.0  # far above the fp noise floor of the affine case
+
+
+def test_multi_affine_runs_all_scales(rng):
+    flows = [jnp.asarray((rng.rand(1, s, s, 2).astype(np.float32) * 2) - 1)
+             for s in (32, 64, 128)]
+    val = float(multi_affine_regularization_loss(flows))
+    assert np.isfinite(val) and val > 0
+
+
+def test_affine_grads_flow(rng):
+    flow = jnp.asarray((rng.rand(1, 16, 16, 2).astype(np.float32) * 2) - 1)
+    g = jax.grad(lambda f: affine_regularization_loss(f, 3))(flow)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+# -------------------------------------------------------------- identity ---
+def test_identity_loss_gt_detached(rng):
+    from ffwm_tpu.models import LightCNN29
+
+    model = LightCNN29(num_classes=11)
+    x = jnp.asarray(rng.rand(1, 128, 128, 1).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    lcnn = lambda img: model.apply(variables, img)
+
+    out = jnp.asarray(rng.rand(1, 128, 128, 3).astype(np.float32))
+    gt = jnp.asarray(rng.rand(1, 128, 128, 3).astype(np.float32))
+    val = float(identity_loss(lcnn, out, gt))
+    assert np.isfinite(val) and val > 0
+    g_gt = jax.grad(lambda g: identity_loss(lcnn, out, g))(gt)
+    np.testing.assert_allclose(np.asarray(g_gt), 0.0, atol=0)
+    g_out = jax.grad(lambda o: identity_loss(lcnn, o, gt))(out)
+    assert float(jnp.abs(g_out).max()) > 0
+
+
+# ------------------------------------------------------------ perceptual ---
+def test_perceptual_loss_weights(rng):
+    feats = lambda img: {
+        "relu1_1": img, "relu2_1": img * 2, "relu3_1": img * 3,
+        "relu4_1": img * 4, "relu5_1": img * 5,
+    }
+    x = jnp.asarray(rng.rand(1, 8, 8, 3).astype(np.float32))
+    y = jnp.asarray(rng.rand(1, 8, 8, 3).astype(np.float32))
+    base = float(jnp.mean(jnp.abs(x - y)))
+    expect = base * (1 * 1 + 0.5 * 2 + 0.25 * 3 + 0.25 * 4 + 0.125 * 5)
+    np.testing.assert_allclose(float(perceptual_loss(feats, x, y)), expect, rtol=1e-5)

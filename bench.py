@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark: 128x128 frontalized faces/sec/chip on the test_ffwm.py hot path
+(flowNetF -> WAM generator -> guided filter), per BASELINE.json.
+
+Runs on whatever JAX platform is active (the real TPU chip under the
+driver). Sweeps batch sizes, reports the best sustained throughput in fp32
+(the parity configuration: fp32 params, HIGHEST conv precision matches the
+PyTorch reference <1e-3) and also measures the bf16 fast path.
+
+Baseline anchor: the reference publishes no numbers (BASELINE.md). The
+PyTorch reference's test path is single-image (batch 1); on a V100-class GPU
+it sustains roughly 1000 img/s when batched (our documented estimate — the
+reference hardware is not available in this environment, and BASELINE.json's
+target is >=5x that per chip). vs_baseline = value / 1000.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMG_S = 1000.0  # documented estimate of batched PyTorch-GPU throughput
+
+
+def build(dtype):
+    from ffwm_tpu.engine.ffwm_model import build_models, gf_radius
+    from ffwm_tpu.ops.filters import guided_filter
+
+    models = build_models()
+    s = 128
+    x1 = jnp.zeros((1, s, s, 3), jnp.float32)
+    flow_vars = models.flownet.init(jax.random.PRNGKey(0), x1, train=False)
+    flows0 = tuple(jnp.zeros((1, t, t, 2)) for t in (s // 4, s // 2, s))
+    gen_vars = models.gen.init(jax.random.PRNGKey(1), x1, flows0, train=False)
+    if dtype == jnp.bfloat16:
+        cast = lambda t: t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t
+        flow_vars = jax.tree.map(cast, flow_vars)
+        gen_vars = jax.tree.map(cast, gen_vars)
+
+    @jax.jit
+    def forward(fv, gv, img_s, img_f):
+        f128, f64, f32 = models.flownet.apply(fv, img_s, train=False)
+        _, _, fake128 = models.gen.apply(gv, img_s, (f32, f64, f128),
+                                         train=False)
+        out = guided_filter(fake128.astype(jnp.float32),
+                            img_f.astype(jnp.float32), gf_radius(s))
+        return out
+
+    return forward, flow_vars, gen_vars
+
+
+def measure(forward, fv, gv, batch, dtype, iters=20, warmup=3):
+    r = np.random.RandomState(0)
+    img_s = jnp.asarray(r.rand(batch, 128, 128, 3), dtype)
+    img_f = jnp.asarray(r.rand(batch, 128, 128, 3), dtype)
+    out = forward(fv, gv, img_s, img_f)
+    jax.block_until_ready(out)
+    for _ in range(warmup):
+        jax.block_until_ready(forward(fv, gv, img_s, img_f))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(fv, gv, img_s, img_f)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {dev.device_kind}", file=sys.stderr)
+
+    results = {}
+    for name, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        forward, fv, gv = build(dtype)
+        best = 0.0
+        best_b = 0
+        for batch in (1, 8, 32, 64, 128):
+            try:
+                ips = measure(forward, fv, gv, batch, dtype)
+            except Exception as e:  # OOM etc.
+                print(f"# {name} b={batch}: {type(e).__name__}", file=sys.stderr)
+                break
+            print(f"# {name} b={batch}: {ips:.1f} img/s", file=sys.stderr)
+            if ips > best:
+                best, best_b = ips, batch
+        results[name] = (best, best_b)
+
+    value = results["fp32"][0]
+    print(json.dumps({
+        "metric": "128x128 frontalized faces/sec/chip (flowNetF+netG+GF inference)",
+        "value": round(value, 2),
+        "unit": "img/s",
+        "vs_baseline": round(value / BASELINE_IMG_S, 3),
+        "fp32_img_s": round(results["fp32"][0], 2),
+        "fp32_batch": results["fp32"][1],
+        "bf16_img_s": round(results["bf16"][0], 2),
+        "bf16_batch": results["bf16"][1],
+        "device": f"{dev.platform}:{dev.device_kind}",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Batching + background prefetch — the host-side data plane.
+
+Replaces torch's DataLoader (reference data/__init__.py:62-101): a
+shuffling batcher with a thread-pool item fetcher and a bounded background
+prefetch queue, so host decode/augment overlaps device compute. The native
+C++ augmentation path (ffwm_tpu.data.native) plugs in transparently when
+built.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack dict items into batched numpy arrays; non-arrays become lists."""
+    out: Dict[str, Any] = {}
+    for key in items[0]:
+        vals = [it[key] for it in items]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals, axis=0)
+        elif isinstance(vals[0], (int, float, np.integer, np.floating)):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = vals
+    return out
+
+
+class DataLoader:
+    """Iterates dict batches. max_dataset_size caps items per epoch like the
+    reference CustomDatasetDataLoader (data/__init__.py:92-100)."""
+
+    def __init__(self, dataset, batch_size: int = 8, shuffle: bool = True,
+                 num_threads: int = 4, drop_last: bool = False,
+                 max_dataset_size: Optional[int] = None,
+                 prefetch: int = 2, seed: Optional[int] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_threads = max(num_threads, 1)
+        self.drop_last = drop_last
+        self.max_dataset_size = max_dataset_size or float("inf")
+        self.prefetch = prefetch
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        n = min(len(self.dataset), self.max_dataset_size)
+        if self.drop_last:
+            return int(n // self.batch_size)
+        return int(-(-n // self.batch_size))
+
+    def _index_batches(self) -> List[np.ndarray]:
+        n = int(min(len(self.dataset), self.max_dataset_size))
+        idx = np.arange(n)
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        batches = [idx[i:i + self.batch_size] for i in range(0, n, self.batch_size)]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        batches = self._index_batches()
+        if self.prefetch <= 0:
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                for b in batches:
+                    yield collate(list(pool.map(self.dataset.__getitem__, b)))
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        q.put(collate(list(pool.map(self.dataset.__getitem__, b))))
+            except Exception as e:  # propagate to consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

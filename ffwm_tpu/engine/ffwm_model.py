@@ -183,10 +183,11 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
         fake128, fake64, fake32 = fwd["fakes"]
         gf128 = fwd["gf128"]
 
-        img_f64 = resize_bilinear(img_f, (64, 64))
-        img_f32 = resize_bilinear(img_f, (32, 32))
-        mask_f64 = resize_nearest(mask_f, (64, 64))
-        mask_f32 = resize_nearest(mask_f, (32, 32))
+        s_mid, s_low = fake64.shape[1], fake32.shape[1]  # 64/32 at 128px input
+        img_f64 = resize_bilinear(img_f, (s_mid, s_mid))
+        img_f32 = resize_bilinear(img_f, (s_low, s_low))
+        mask_f64 = resize_nearest(mask_f, (s_mid, s_mid))
+        mask_f32 = resize_nearest(mask_f, (s_low, s_low))
 
         gf64 = guided_filter(fake64, img_f64, gf_radius(fake64.shape[1]))
         gf32 = guided_filter(fake32, img_f32, gf_radius(fake32.shape[1]))

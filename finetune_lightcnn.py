@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Finetune LightCNN-29 on Multi-PIE — TPU-native.
+
+CLI-compatible rebuild of lightcnn/finetune.py: cross-entropy SGD with the
+per-parameter-group learning rates of the reference (fc2 x10/x20, biases x2,
+weight decay on weights only), step decay x0.457 every 25 epochs, rank-1
+validation against a one-frontal-per-identity gallery, checkpoints named
+``lightCNN_{epoch}_checkpoint``.
+
+Example:
+    python finetune_lightcnn.py --dataroot ./dataset --model_path \
+        ./checkpoints/LightCNN_29Layers_checkpoint.pth --save_path ./checkpoints
+"""
+
+import argparse
+import os
+import time
+from os.path import join
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ffwm_tpu.data import DataLoader, LightCNNDataset
+from ffwm_tpu.engine.checkpoint import save_pth, save_tree
+from ffwm_tpu.engine.common import set_lr
+from ffwm_tpu.engine.lightcnn_finetune import (
+    create_lightcnn_train_state,
+    finetune_lr,
+    make_lightcnn_feature_fn,
+    make_lightcnn_train_step,
+)
+from ffwm_tpu.parallel import make_mesh, pad_to_multiple, replicate, shard_batch
+from ffwm_tpu.utils import Rank1Meter
+from ffwm_tpu.utils.convert import load_pth
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="TPU LightCNN finetune")
+    p.add_argument("--epochs", default=80, type=int)
+    p.add_argument("--start-epoch", default=0, type=int)
+    p.add_argument("-b", "--batch-size", default=10, type=int)
+    p.add_argument("--lr", default=0.0001, type=float)
+    p.add_argument("--momentum", default=0.9, type=float)
+    p.add_argument("--weight-decay", default=1e-4, type=float)
+    p.add_argument("--print-freq", default=5000, type=int)
+    p.add_argument("--num_classes", default=79077, type=int)
+    p.add_argument("--model_path", default="", type=str,
+                   help="pretrained LightCNN .pth")
+    p.add_argument("--save_path", default="./checkpoints", type=str)
+    p.add_argument("--dataroot", default="./dataset", type=str)
+    p.add_argument("--crop", action="store_true")
+    p.add_argument("--preload", action="store_true")
+    p.add_argument("--seed", default=0, type=int)
+    return p.parse_args()
+
+
+def validate(feature_fn, params, val_loader, gallery_dict):
+    keys = list(gallery_dict.keys())
+    gallery = jnp.asarray(np.stack([gallery_dict[k] for k in keys]))
+    gallery_feas = np.asarray(feature_fn(params, gallery))
+    meter = Rank1Meter()
+    for batch in val_loader:
+        feas = np.asarray(feature_fn(params, jnp.asarray(batch["image"])))
+        meter.update(feas, batch["input_path"], gallery_feas, keys)
+    print(meter)
+    return meter.overall()
+
+
+def main():
+    args = parse_args()
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.flatten())
+
+    pretrained = None
+    if args.model_path and os.path.exists(args.model_path):
+        print(f"loading pretrained LightCNN from {args.model_path}")
+        pretrained = load_pth(args.model_path, "lightcnn")
+    model, state, tx = create_lightcnn_train_state(
+        jax.random.PRNGKey(args.seed), num_classes=args.num_classes,
+        pretrained_vars=pretrained, lr=args.lr)
+
+    train_ds = LightCNNDataset(args.dataroot, "train", crop=args.crop,
+                               seed=args.seed)
+    val_ds = LightCNNDataset(args.dataroot, "test", crop=args.crop,
+                             aug=False, seed=args.seed)
+    train_loader = DataLoader(train_ds, batch_size=args.batch_size,
+                              shuffle=True, drop_last=True, seed=args.seed)
+    val_loader = DataLoader(val_ds, batch_size=args.batch_size, shuffle=False)
+
+    step_fn = make_lightcnn_train_step(model, tx)
+    feature_fn = make_lightcnn_feature_fn(model)
+    state = replicate(state, mesh)
+
+    validate(feature_fn, state.net.params, val_loader, val_ds.gallery_dict)
+
+    rng = jax.random.PRNGKey(args.seed + 1)
+    it = 0
+    for epoch in range(args.start_epoch, args.epochs):
+        lr = finetune_lr(args.lr, epoch)
+        state = state.replace(opt_state=set_lr(state.opt_state, lr))
+        t0 = time.time()
+        for batch in train_loader:
+            fb = {"image": batch["image"], "label": batch["label"]}
+            fb, _ = pad_to_multiple(fb, n_dev)
+            fb = shard_batch(fb, mesh)
+            rng, drng = jax.random.split(rng)
+            state, metrics = step_fn(state, fb, drng)
+            it += 1
+            if it % max(args.print_freq // args.batch_size, 1) == 0:
+                m = jax.device_get(metrics)
+                print(f"epoch {epoch} it {it}: loss {float(m['loss']):.4f} "
+                      f"top1 {float(m['top1']):.3f} top5 {float(m['top5']):.3f}")
+        print(f"epoch {epoch} done in {time.time() - t0:.0f}s (lr {lr:.2e})")
+        validate(feature_fn, state.net.params, val_loader, val_ds.gallery_dict)
+
+        host = jax.device_get(state)
+        if epoch % 5 == 0:
+            save_tree(args.save_path, "", f"lightCNN_{epoch + 1}_checkpoint",
+                      host.net.variables)
+            save_pth(host.net.variables, "lightcnn",
+                     join(args.save_path, f"lightCNN_{epoch + 1}_checkpoint.pth"))
+        save_tree(args.save_path, "", "lightCNN_latest_checkpoint",
+                  host.net.variables)
+
+
+if __name__ == "__main__":
+    main()

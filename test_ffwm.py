@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Evaluate/infer with a trained FFWM — TPU-native.
+
+CLI-compatible rebuild of the reference test_ffwm.py: Multi-PIE mode builds
+the gallery LightCNN features, frontalizes every test image
+(flowNetF -> netG -> guided filter), accumulates rank-1 identification per
+pose, and saves visuals for --save_image / visual_list.npy entries; LFW mode
+saves frontalized images only.
+
+Improvement over the reference: batched inference (--batch_size N; the
+reference is locked to 1) — batching is free throughput on TPU.
+
+Checkpoints: looks for orbax dirs
+``{checkpoints_dir}/{name}/{epoch}_net_{netG,flowNetF}.ckpt`` first, then
+torch ``.pth`` files with the reference's names.
+"""
+
+import os
+import time
+from os.path import join
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ffwm_tpu.data import create_dataset
+from ffwm_tpu.engine import build_models, make_ffwm_inference
+from ffwm_tpu.engine.checkpoint import exists, restore_tree
+from ffwm_tpu.losses.identity import _center_crop
+from ffwm_tpu.models import grayscale
+from ffwm_tpu.options import print_and_save, test_parser
+from ffwm_tpu.parallel import make_mesh, pad_to_multiple, shard_batch
+from ffwm_tpu.utils import Rank1Meter, Visualizer, tensor2im
+from ffwm_tpu.utils.convert import load_pth
+
+
+def load_variables(opt, tag: str, kind: str, init_vars):
+    if exists(opt.checkpoints_dir, opt.name, f"{opt.epoch}_net_{tag}"):
+        print(f"loading {tag} from orbax {opt.epoch}_net_{tag}")
+        return restore_tree(opt.checkpoints_dir, opt.name,
+                            f"{opt.epoch}_net_{tag}",
+                            target=jax.tree.map(np.asarray, init_vars))
+    pth = join(opt.checkpoints_dir, opt.name, f"{opt.epoch}_net_{tag}.pth")
+    if os.path.exists(pth):
+        print(f"loading {tag} from {pth}")
+        return load_pth(pth, kind, init_vars)
+    raise FileNotFoundError(
+        f"no checkpoint for {tag}: tried orbax '{opt.epoch}_net_{tag}.ckpt' "
+        f"and '{pth}'")
+
+
+def main():
+    opt = test_parser().parse_args()
+    print_and_save(opt, "test")
+
+    loader = create_dataset(opt.dataroot, datamode=opt.datamode, phase="test",
+                            batch_size=opt.batch_size, load_size=opt.load_size,
+                            preload=opt.preload, shuffle=False,
+                            max_dataset_size=(None if opt.num_test == float("inf")
+                                              else int(opt.num_test)),
+                            seed=opt.seed)
+    ds = loader.dataset
+    print(f"The number of test images = {len(ds)}")
+
+    models = build_models()
+    s = opt.load_size
+    x = jnp.zeros((1, s, s, 3), jnp.float32)
+    flow_init = models.flownet.init(jax.random.PRNGKey(0), x, train=False)
+    flows0 = tuple(jnp.zeros((1, t, t, 2)) for t in (s // 4, s // 2, s))
+    gen_init = models.gen.init(jax.random.PRNGKey(0), x, flows0, train=False)
+    lc_init = models.lightcnn.init(jax.random.PRNGKey(0), jnp.zeros((1, s, s, 1)))
+
+    flow_vars = load_variables(opt, "flowNetF", "flownet", flow_init)
+    gen_vars = load_variables(opt, "netG", "ffwm", gen_init)
+    lc_path = opt.lightcnn
+    if os.path.exists(lc_path):
+        print(f"loading lightCNN from {lc_path}")
+        lc_vars = (load_pth(lc_path, "lightcnn", lc_init)
+                   if lc_path.endswith(".pth") else
+                   restore_tree(os.path.dirname(lc_path), "",
+                                os.path.basename(lc_path), target=lc_init))
+    else:
+        print("WARNING: lightCNN checkpoint missing; rank-1 numbers are "
+              "meaningless (random identity features)")
+        lc_vars = lc_init
+
+    infer = make_ffwm_inference(models)
+
+    @jax.jit
+    def identity_feature(img):
+        gray = grayscale(img)
+        if opt.crop:
+            gray = _center_crop(gray)
+        _, fc, _ = models.lightcnn.apply(lc_vars, gray)
+        return fc
+
+    vis = Visualizer(opt.name, opt.checkpoints_dir, phase="test",
+                     datamode=opt.datamode)
+
+    if opt.datamode == "multipie":
+        vlist_path = join(opt.dataroot, "multipie", "test", "visual_list.npy")
+        visual_list = set(np.load(vlist_path)) if os.path.exists(vlist_path) else set()
+
+        gallery_keys = list(ds.gallery_dict.keys())
+        gallery = jnp.asarray(np.stack([ds.gallery_dict[k] for k in gallery_keys]))
+        gallery_feas = np.asarray(
+            models.lightcnn.apply(lc_vars, gallery)[1])
+
+        metric = Rank1Meter()
+        n_done, t0 = 0, time.time()
+        for batch in loader:
+            files = batch["input_path"]
+            bsz = batch["img_S"].shape[0]
+            out = infer(flow_vars, gen_vars,
+                        jnp.asarray(batch["img_S"]), jnp.asarray(batch["img_F"]))
+            feas = np.asarray(identity_feature(out["fake_F128"]))
+            metric.update(feas, files, gallery_feas, gallery_keys)
+            n_done += bsz
+            for idx, name in enumerate(files):
+                if name in visual_list or (not visual_list and opt.save_image):
+                    prefix = os.path.splitext(name)[0]
+                    vis.display_test_results(
+                        {"img_S": batch["img_S"], "img_F": batch["img_F"],
+                         "fake_F128": np.asarray(out["fake_F128"])},
+                        idx=idx, prefix=prefix)
+        dt = time.time() - t0
+        print(f"processed {n_done} images in {dt:.1f}s "
+              f"({n_done / max(dt, 1e-9):.1f} img/s)")
+        vis.print_test_results(metric)
+    else:  # lfw etc: dump images
+        for batch in loader:
+            files = batch["input_path"]
+            out = infer(flow_vars, gen_vars,
+                        jnp.asarray(batch["img_S"]), jnp.asarray(batch["img_F"]))
+            for idx, name in enumerate(files):
+                prefix = os.path.splitext(name)[0]
+                vis.display_test_results(
+                    {"img_S": batch["img_S"],
+                     "fake_F128": np.asarray(out["fake_F128"])},
+                    idx=idx, prefix=prefix)
+
+
+if __name__ == "__main__":
+    main()

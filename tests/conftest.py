@@ -30,6 +30,9 @@ except Exception:
 jax.config.update("jax_enable_x64", False)
 # Parity tests compare against torch fp32; keep matmul/conv at full fp32.
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: repeated test runs skip the big CPU compiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/ffwm_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

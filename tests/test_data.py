@@ -1,0 +1,108 @@
+"""Dataset + loader behavior on synthetic Multi-PIE/LFW data."""
+
+import numpy as np
+import pytest
+
+from ffwm_tpu.data import DataLoader, FaceDataset, LightCNNDataset, create_dataset, s2f
+from ffwm_tpu.data.synthetic import make_synthetic_lfw, make_synthetic_multipie
+
+
+@pytest.fixture(scope="module")
+def dataroot(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    make_synthetic_multipie(str(root), n_ids=3, cameras=("051", "050", "090"),
+                            size=128)
+    make_synthetic_lfw(str(root), n=3)
+    return str(root)
+
+
+def test_s2f():
+    assert s2f("001_01_01_090_06.png") == "001_01_01_051_06.png"
+    assert s2f("123_02_02_051_07.png") == "123_02_02_051_07.png"
+
+
+def test_train_dataset_items(dataroot):
+    ds = FaceDataset(dataroot, phase="train")
+    n_pairs = len(ds.pairs)
+    assert len(ds) == 2 * n_pairs  # mirror doubling
+    item = ds[0]
+    assert item["img_S"].shape == (128, 128, 3)
+    assert item["img_F"].shape == (128, 128, 3)
+    assert item["mask_S"].shape == (128, 128, 1)
+    assert item["lm_S"].shape == (580, 2) and item["lm_S"].dtype == np.int32
+    assert item["gate"].shape == (580, 1)
+    assert 0.0 <= item["img_S"].min() and item["img_S"].max() <= 1.0
+
+    flipped = ds[n_pairs]  # same pair, mirrored
+    np.testing.assert_allclose(flipped["img_S"], item["img_S"][:, ::-1, :])
+    np.testing.assert_array_equal(flipped["lm_S"][:, 0], 127 - item["lm_S"][:, 0])
+    np.testing.assert_array_equal(flipped["lm_S"][:, 1], item["lm_S"][:, 1])
+
+
+def test_train_dataset_aug(dataroot):
+    ds = FaceDataset(dataroot, phase="train", aug=True, seed=0)
+    item = ds[1]
+    assert np.isfinite(item["img_S"]).all()
+    assert item["lm_S"].min() >= 0 and item["lm_S"].max() <= 127
+    assert set(np.unique(item["mask_S"])) <= {0.0, 1.0}
+
+
+def test_test_dataset_and_gallery(dataroot):
+    ds = FaceDataset(dataroot, phase="test", seed=0)
+    assert len(ds) == len(ds.pairs)
+    item = ds[0]
+    assert set(item) == {"img_S", "img_F", "input_path"}
+    # gallery: one frontal *_051_06.png per identity, grayscale HW1
+    assert len(ds.gallery_dict) == 2
+    g = next(iter(ds.gallery_dict.values()))
+    assert g.shape == (128, 128, 1)
+
+
+def test_lfw_dataset(dataroot):
+    ds = FaceDataset(dataroot, datamode="lfw", phase="test")
+    item = ds[0]
+    np.testing.assert_array_equal(item["img_S"], item["img_F"])
+
+
+def test_preload(dataroot):
+    ds = FaceDataset(dataroot, phase="train", preload=True)
+    assert len(ds.image_dict) == len(ds.files)
+    assert len(ds.mask_dict) == len(ds.files)
+    item = ds[0]
+    assert item["img_S"].shape == (128, 128, 3)
+
+
+def test_loader_batching(dataroot):
+    loader = create_dataset(dataroot, phase="train", batch_size=4, seed=0)
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    b = batches[0]
+    assert b["img_S"].shape == (4, 128, 128, 3)
+    assert b["lm_F"].shape == (4, 580, 2)
+    assert isinstance(b["input_path"], list) and len(b["input_path"]) == 4
+    # drop_last: all batches full
+    assert all(bb["img_S"].shape[0] == 4 for bb in batches)
+
+
+def test_loader_no_prefetch_path(dataroot):
+    ds = FaceDataset(dataroot, phase="train")
+    loader = DataLoader(ds, batch_size=2, shuffle=False, prefetch=0)
+    b = next(iter(loader))
+    assert b["img_S"].shape[0] == 2
+
+
+def test_loader_max_dataset_size(dataroot):
+    ds = FaceDataset(dataroot, phase="train")
+    loader = DataLoader(ds, batch_size=2, shuffle=False, max_dataset_size=3,
+                        drop_last=False)
+    total = sum(b["img_S"].shape[0] for b in loader)
+    assert total == 3
+
+
+def test_lightcnn_dataset(dataroot):
+    ds = LightCNNDataset(dataroot, phase="train", seed=0)
+    item = ds[0]
+    assert item["image"].shape == (128, 128, 1)
+    assert 0 <= item["label"] < 3
+    val = LightCNNDataset(dataroot, phase="test", seed=0)
+    assert len(val.gallery_dict) == 2

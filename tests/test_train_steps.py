@@ -1,0 +1,150 @@
+"""Integration tests: one jitted train step per model on synthetic data.
+
+Mirrors SURVEY.md §4's prescription ("one jitted train step of each model on
+synthetic data — loss finite, shapes, param update"). Runs at 64px to keep
+CPU compile affordable; the 128px path is exercised by the parity tests and
+the driver's dryrun/bench entries.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ffwm_tpu.engine import (
+    build_models,
+    create_ffwm_train_state,
+    create_flow_train_state,
+    make_ffwm_inference,
+    make_ffwm_train_step,
+    make_flow_train_step,
+    restore_tree,
+    save_tree,
+    set_lr,
+)
+from ffwm_tpu.engine.schedule import PlateauTracker, get_lr
+from ffwm_tpu.models import VGG19Features
+
+S = 64
+
+
+def _flow_batch(rng, b=2, s=S):
+    return {
+        "img_S": jnp.asarray(rng.rand(b, s, s, 3), jnp.float32),
+        "img_F": jnp.asarray(rng.rand(b, s, s, 3), jnp.float32),
+        "lm_S": jnp.asarray(rng.randint(0, s, (b, 580, 2)), jnp.int32),
+        "lm_F": jnp.asarray(rng.randint(0, s, (b, 580, 2)), jnp.int32),
+        "gate": jnp.asarray((rng.rand(b, 580, 2) > 0.2), jnp.float32),
+        "mask": jnp.asarray((rng.rand(b, s, s, 1) > 0.2), jnp.float32),
+    }
+
+
+def _max_delta(a, b):
+    d = jax.tree.map(lambda x, y: float(jnp.abs(x - y).max()), a, b)
+    return max(jax.tree.leaves(d))
+
+
+@pytest.fixture(scope="module")
+def flow_setup():
+    model, state, tx = create_flow_train_state(jax.random.PRNGKey(0), image_size=S)
+    vgg = VGG19Features(max_layer="relu3_1")
+    vgg_vars = vgg.init(jax.random.PRNGKey(1), jnp.zeros((1, S, S, 3)))
+    return model, state, tx, vgg_vars
+
+
+def test_flow_train_step(flow_setup, rng):
+    model, state, tx, vgg_vars = flow_setup
+    step = make_flow_train_step(model, tx)
+    batch = _flow_batch(rng)
+    params_before = jax.tree.map(jnp.copy, state.net.params)
+    stats_before = jax.tree.map(jnp.copy, state.net.extra["batch_stats"])
+
+    # the step donates its input state; copy so the fixture stays usable
+    state_in = jax.tree.map(jnp.copy, state)
+    state2, metrics = step(state_in, batch, vgg_vars)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(state2.step) == 1
+    assert _max_delta(params_before, state2.net.params) > 0
+    assert _max_delta(stats_before, state2.net.extra["batch_stats"]) > 0
+
+    # second step with fresh batch keeps training
+    state3, metrics2 = step(state2, _flow_batch(np.random.RandomState(7)), vgg_vars)
+    assert np.isfinite(float(metrics2["loss"]))
+    assert int(state3.step) == 2
+
+
+def test_flow_checkpoint_roundtrip(flow_setup, tmp_path):
+    model, state, tx, _ = flow_setup
+    save_tree(str(tmp_path), "flownetf", "latest_net_flowNet", state.net.variables)
+    restored = restore_tree(str(tmp_path), "flownetf", "latest_net_flowNet",
+                            target=state.net.variables)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored["params"])[0]),
+        np.asarray(jax.tree.leaves(state.net.variables["params"])[0]))
+
+
+def test_ffwm_train_step(rng):
+    models = build_models()
+    state, txs = create_ffwm_train_state(jax.random.PRNGKey(0), models, image_size=S)
+    lc_vars = models.lightcnn.init(jax.random.PRNGKey(1), jnp.zeros((1, S, S, 1)))
+    vgg_vars = models.vgg.init(jax.random.PRNGKey(2), jnp.zeros((1, S, S, 3)))
+    frozen = {"lightcnn": lc_vars, "vgg": vgg_vars}
+    step = make_ffwm_train_step(models, txs)
+
+    b = 2
+    batch = {
+        "img_S": jnp.asarray(rng.rand(b, S, S, 3), jnp.float32),
+        "img_F": jnp.asarray(rng.rand(b, S, S, 3), jnp.float32),
+        "lm_F": jnp.asarray(rng.randint(0, S, (b, 580, 2)), jnp.int32),
+        "mask_S": jnp.asarray((rng.rand(b, S, S, 1) > 0.2), jnp.float32),
+        "mask_F": jnp.asarray((rng.rand(b, S, S, 1) > 0.2), jnp.float32),
+    }
+    g_before = jax.tree.map(jnp.copy, state.gen.params)
+    d_before = jax.tree.map(jnp.copy, state.disc.params)
+    f_before = jax.tree.map(jnp.copy, state.flow_f.params)
+
+    state2, metrics = step(state, batch, frozen)
+    expected = {"loss_G", "loss_D", "loss_l1", "loss_iden", "loss_illu",
+                "loss_adv", "loss_prc", "loss_fc"}
+    assert expected <= set(metrics)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(state2.titers) == b  # warm-up counts images
+    assert _max_delta(g_before, state2.gen.params) > 0
+    assert _max_delta(d_before, state2.disc.params) > 0
+    assert _max_delta(f_before, state2.flow_f.params) > 0
+
+    # inference path on the trained state
+    infer = make_ffwm_inference(models)
+    out = infer(state2.flow_f.variables, state2.gen.variables,
+                batch["img_S"], batch["img_F"])
+    assert out["fake_F128"].shape == (b, S, S, 3)
+    assert out["att"].shape[-1] == 1
+    assert np.isfinite(np.asarray(out["img_GF128"])).all()
+
+
+def test_set_lr_and_schedules():
+    import optax
+
+    from ffwm_tpu.engine.common import adam
+
+    tx = adam(1e-3)
+    params = {"w": jnp.ones((3,))}
+    st = tx.init(params)
+    st = set_lr(st, 5e-4)
+    g = {"w": jnp.ones((3,))}
+    updates, st2 = tx.update(g, st, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+    assert get_lr("step", 4e-4, 0) == 4e-4
+    assert get_lr("step", 4e-4, 3) == 2e-4
+    assert get_lr("step", 4e-4, 6) == 1e-4
+    assert get_lr("linear", 1.0, 0, niter=10, niter_decay=10) == 1.0
+    assert get_lr("linear", 1.0, 19, niter=10, niter_decay=10) < 0.2
+    assert abs(get_lr("cosine", 1.0, 20, niter=10, niter_decay=10)) < 1e-9
+
+    pt = PlateauTracker(1e-3, patience=1)
+    assert pt.update(1.0) == 1e-3
+    assert pt.update(1.0) == 1e-3     # 1 bad epoch
+    assert pt.update(1.0) == 2e-4     # second bad epoch -> decay

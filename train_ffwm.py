@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Train the full FFWM face-frontalization GAN — TPU-native.
+
+CLI-compatible rebuild of the reference train_ffwm.py: same flags and
+checkpoint conventions, same loss mix and optimizers, with the D-then-G
+alternation compiled into ONE XLA program per step and the batch sharded
+over a jax.sharding.Mesh (data parallelism; BatchNorm statistics are global
+across the mesh automatically under GSPMD).
+
+Required pretrained pieces (same as the reference README):
+    --flownetf / --flownetb : trained flow nets (orbax dir or .pth)
+    --lightcnn              : finetuned LightCNN-29 (.pth or orbax dir)
+    --vgg                   : VGG19 ImageNet weights (.pth state_dict)
+
+Example:
+    python train_ffwm.py --dataroot ./dataset --name ffwm --batch_size 8
+"""
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ffwm_tpu.data import create_dataset
+from ffwm_tpu.engine import (
+    build_models,
+    create_ffwm_train_state,
+    create_flow_train_state,
+    exists,
+    make_ffwm_inference,
+    make_ffwm_train_step,
+    restore_tree,
+    save_pth,
+    save_tree,
+    set_lr,
+)
+from ffwm_tpu.engine.schedule import get_lr
+from ffwm_tpu.options import print_and_save, train_parser
+from ffwm_tpu.parallel import make_mesh, pad_to_multiple, replicate, shard_batch
+from ffwm_tpu.utils import Visualizer
+
+
+def load_net_vars(path: str, kind: str, init_vars, what: str):
+    """Load from an orbax checkpoint dir or a torch .pth; None if missing."""
+    if not path:
+        return None
+    from ffwm_tpu.engine.checkpoint import restore_tree as _restore
+    import orbax.checkpoint as ocp
+
+    if os.path.isdir(path + ".ckpt") or os.path.isdir(path):
+        p = path if os.path.isdir(path) else path + ".ckpt"
+        ckptr = ocp.StandardCheckpointer()
+        print(f"loading {what} from {p}")
+        return ckptr.restore(p, target=jax.tree.map(np.asarray, init_vars))
+    if os.path.exists(path) and path.endswith(".pth"):
+        from ffwm_tpu.utils.convert import load_pth
+
+        print(f"loading {what} from {path}")
+        return load_pth(path, kind, init_vars)
+    print(f"WARNING: {what} checkpoint not found at {path}; random init")
+    return None
+
+
+def main():
+    parser = train_parser("ffwm")
+    parser.set_defaults(name="ffwm")
+    opt = parser.parse_args()
+    print_and_save(opt, "train")
+
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.flatten())
+    print(f"mesh: {n_dev} device(s)")
+
+    loader = create_dataset(opt.dataroot, datamode=opt.datamode, phase="train",
+                            batch_size=opt.batch_size, load_size=opt.load_size,
+                            aug=opt.aug, preload=opt.preload,
+                            num_threads=opt.num_threads,
+                            max_dataset_size=opt.max_dataset_size, seed=opt.seed)
+    print(f"The number of training images = {len(loader.dataset)}")
+
+    models = build_models()
+    s = opt.load_size
+    # pretrained flownets
+    _, tmp_state, _ = create_flow_train_state(jax.random.PRNGKey(0), image_size=s)
+    flow_init = tmp_state.net.variables
+    flow_f_vars = load_net_vars(opt.flownetf, "flownet", flow_init, "flowNetF")
+    flow_b_vars = load_net_vars(opt.flownetb, "flownet", flow_init, "flowNetB")
+
+    state, txs = create_ffwm_train_state(
+        jax.random.PRNGKey(opt.seed), models, image_size=s,
+        lr_g=opt.lr, lr_d=opt.lr,
+        flow_f_vars=flow_f_vars, flow_b_vars=flow_b_vars)
+
+    lc_init = models.lightcnn.init(jax.random.PRNGKey(1), jnp.zeros((1, s, s, 1)))
+    lc_vars = load_net_vars(opt.lightcnn, "lightcnn", lc_init, "lightCNN") or lc_init
+    vgg_init = models.vgg.init(jax.random.PRNGKey(2), jnp.zeros((1, s, s, 3)))
+    if opt.vgg and os.path.exists(opt.vgg):
+        from ffwm_tpu.utils.convert import load_pth as _lp
+
+        conv = _lp(opt.vgg, "vgg19")
+        vgg_vars = {"params": {k: conv["params"][k] for k in vgg_init["params"]}}
+        print(f"loaded VGG19 from {opt.vgg}")
+    else:
+        vgg_vars = vgg_init
+        print("WARNING: no --vgg weights; perceptual losses use a fixed-seed "
+              "random VGG (smoke-test mode).")
+    frozen = {"lightcnn": lc_vars, "vgg": vgg_vars}
+
+    if opt.continue_train and exists(opt.checkpoints_dir, opt.name,
+                                     f"{opt.epoch}_state"):
+        state = restore_tree(opt.checkpoints_dir, opt.name,
+                             f"{opt.epoch}_state", target=state)
+        print(f"resumed full train state from {opt.epoch}_state "
+              f"(titers={int(state.titers)})")
+
+    state = replicate(state, mesh)
+    frozen = replicate(frozen, mesh)
+    step_fn = make_ffwm_train_step(models, txs, crop_identity=opt.crop)
+    infer_fn = make_ffwm_inference(models)
+
+    vis = Visualizer(opt.name, opt.checkpoints_dir, phase="train")
+    total_iters = int(jax.device_get(state.titers))
+    for epoch in range(opt.epoch_count, opt.niter + opt.niter_decay + 1):
+        epoch_start = time.time()
+        e = epoch - opt.epoch_count
+        lr_g = get_lr(opt.lr_policy, opt.lr, e, decay_epochs=opt.lr_decay_iters,
+                      niter=opt.niter, niter_decay=opt.niter_decay)
+        lr_f = get_lr(opt.lr_policy, 5e-5, e, decay_epochs=opt.lr_decay_iters,
+                      niter=opt.niter, niter_decay=opt.niter_decay)
+        state = state.replace(opt_g=set_lr(state.opt_g, lr_g),
+                              opt_f=set_lr(state.opt_f, lr_f),
+                              opt_d=set_lr(state.opt_d, lr_g))
+        t_data_mark = time.time()
+        last_batch = None
+        for batch in loader:
+            t_data = time.time() - t_data_mark
+            fb = {k: batch[k] for k in
+                  ("img_S", "img_F", "lm_F", "mask_S", "mask_F")}
+            fb, _ = pad_to_multiple(fb, n_dev)
+            fb = shard_batch(fb, mesh)
+            last_batch = fb
+            t0 = time.time()
+            state, metrics = step_fn(state, fb, frozen)
+            total_iters += opt.batch_size
+            if total_iters % opt.print_freq < opt.batch_size:
+                metrics = jax.device_get(metrics)
+                vis.print_current_losses(epoch, total_iters, metrics,
+                                         time.time() - t0, t_data)
+            if total_iters % opt.display_freq < opt.batch_size and last_batch is not None:
+                out = jax.device_get(infer_fn(
+                    state.flow_f.variables, state.gen.variables,
+                    last_batch["img_S"], last_batch["img_F"]))
+                vis.display_current_results(
+                    {"img_S": jax.device_get(last_batch["img_S"]),
+                     "img_F": jax.device_get(last_batch["img_F"]),
+                     "fake_F128": out["fake_F128"],
+                     "img_GF128": out["img_GF128"],
+                     "img_S_warp": out["img_S_warp"]}, epoch)
+            t_data_mark = time.time()
+
+        print(f"End of epoch {epoch} / {opt.niter + opt.niter_decay}\t"
+              f"Time: {time.time() - epoch_start:.0f}s\tlr_G: {lr_g:.2e}")
+        host_state = jax.device_get(state)
+        for net, tag in (("gen", "netG"), ("disc", "netD"),
+                         ("flow_f", "flowNetF"), ("flow_b", "flowNetB")):
+            save_tree(opt.checkpoints_dir, opt.name, f"latest_net_{tag}",
+                      getattr(host_state, net).variables)
+        save_tree(opt.checkpoints_dir, opt.name, "latest_state", host_state)
+        if epoch % opt.save_epoch_freq == 0:
+            print(f"saving the model at the end of epoch {epoch}, "
+                  f"iters {total_iters}")
+            save_tree(opt.checkpoints_dir, opt.name, f"{epoch}_state", host_state)
+            save_pth(host_state.gen.variables, "ffwm",
+                     os.path.join(opt.checkpoints_dir, opt.name,
+                                  f"{epoch}_net_netG.pth"))
+            save_pth(host_state.flow_f.variables, "flownet",
+                     os.path.join(opt.checkpoints_dir, opt.name,
+                                  f"{epoch}_net_flowNetF.pth"))
+
+
+if __name__ == "__main__":
+    main()

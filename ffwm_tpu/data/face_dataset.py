@@ -59,13 +59,12 @@ def rotate_augment(img: np.ndarray, mask: np.ndarray, lm: np.ndarray,
                    ang: int, load_size: int):
     """+-ang-degree rotation of image/mask with the matching landmark
     transform (reference aug_transform :110-130; note the landmark rotation
-    uses -ang to match OpenCV's convention)."""
-    h, w = img.shape[:2]
-    center = (w // 2, h // 2)
-    mat = cv2.getRotationMatrix2D(center, int(ang), 1)
-    img_aug = cv2.warpAffine(img, mat, (w, h))
-    mask_aug = cv2.warpAffine(mask, mat, (w, h))
-    mask_aug = np.where(mask_aug > 0, 255, 0).astype(mask.dtype)
+    uses -ang to match OpenCV's convention). Pixel work runs in the native
+    C++ data plane when built (ffwm_tpu.data.native; cv2 fallback inside)."""
+    from ffwm_tpu.data import native
+
+    img_aug = native.rotate_u8(img, int(ang))
+    mask_aug = native.threshold_u8(native.rotate_u8(mask, int(ang)))
     if mask_aug.ndim == 2:
         mask_aug = mask_aug[:, :, None]
 
@@ -191,12 +190,14 @@ class FaceDataset:
             img_s, mask_s, lm_s = rotate_augment(img_s, mask_s, lm_s, ang,
                                                  self.load_size)
 
+        from ffwm_tpu.data import native
+
         cl = self.load_size - 1
         return {
-            "img_S": np.ascontiguousarray(img_s, np.float32) / 255.0,
-            "img_F": np.ascontiguousarray(img_f, np.float32) / 255.0,
-            "mask_S": np.ascontiguousarray(mask_s, np.float32) / 255.0,
-            "mask_F": np.ascontiguousarray(mask_f, np.float32) / 255.0,
+            "img_S": native.u8_to_f32(img_s),
+            "img_F": native.u8_to_f32(img_f),
+            "mask_S": native.u8_to_f32(mask_s),
+            "mask_F": native.u8_to_f32(mask_f),
             "lm_S": np.clip(lm_s, 0, cl).astype(np.int32),
             "lm_F": np.clip(lm_f, 0, cl).astype(np.int32),
             "gate": gate.astype(np.float32)[:, None],

@@ -16,6 +16,29 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _band_matrix(n: int, r: int) -> np.ndarray:
+    """[n, n] 0/1 matrix with band |i-j| <= r: box-sum as a matmul."""
+    idx = np.arange(n)
+    return (np.abs(idx[:, None] - idx[None, :]) <= r).astype(np.float32)
+
+
+def _box_filter_matmul(x: jax.Array, r: int) -> jax.Array:
+    """Box sum as two banded matmuls — MXU-native formulation.
+
+    ``out = L_H @ x @ L_W^T`` with L the 0/1 band matrix; identical to the
+    cumsum+diff formulation (truncated windows at edges) but runs on the
+    systolic array instead of serial scans, and avoids the cumsum's
+    large-number cancellation in fp32.
+    """
+    b, h, w, c = x.shape
+    lh = jnp.asarray(_band_matrix(h, r))
+    lw = jnp.asarray(_band_matrix(w, r))
+    y = jnp.einsum("ip,bpwc->biwc", lh, x, preferred_element_type=jnp.float32)
+    return jnp.einsum("bhqc,qj->bhjc", y, lw, preferred_element_type=jnp.float32)
 
 
 def _diff(cs: jax.Array, r: int, axis: int) -> jax.Array:
@@ -28,13 +51,18 @@ def _diff(cs: jax.Array, r: int, axis: int) -> jax.Array:
     return jnp.concatenate([left, middle, right], axis=axis)
 
 
-@functools.partial(jax.jit, static_argnames=("r",))
-def box_filter(x: jax.Array, r: int) -> jax.Array:
-    """Sliding-window *sum* over a (2r+1)^2 box with replicate-edge truncation.
+@functools.partial(jax.jit, static_argnames=("r", "method"))
+def box_filter(x: jax.Array, r: int, method: str = "matmul") -> jax.Array:
+    """Sliding-window *sum* over a (2r+1)^2 box with edge-truncated windows.
 
-    [B,H,W,C] -> [B,H,W,C]. Same semantics as the reference BoxFilter.
+    [B,H,W,C] -> [B,H,W,C]. Same semantics as the reference BoxFilter
+    (models/external_function.py:186-195). method='matmul' (default) uses
+    the MXU band-matrix formulation; 'cumsum' is the reference's
+    cumsum+index-difference (kept as oracle / for very large images).
     """
     assert x.ndim == 4, "box_filter expects NHWC"
+    if method == "matmul":
+        return _box_filter_matmul(x, r)
     return _diff(_diff(jnp.cumsum(x, axis=1), r, axis=1).cumsum(axis=2), r, axis=2)
 
 

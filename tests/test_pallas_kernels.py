@@ -1,0 +1,88 @@
+"""Pallas kernels vs the verified XLA formulations (interpret mode on CPU;
+the driver's bench exercises the compiled TPU path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ffwm_tpu.ops.block_extractor import block_extractor
+from ffwm_tpu.ops.kernels.block_extractor_pallas import block_extractor_pallas
+from ffwm_tpu.ops.kernels.resample2d_pallas import resample2d_pallas
+from ffwm_tpu.ops.kernels.warp_pallas import grid_sample_pallas
+from ffwm_tpu.ops.resample2d import resample2d
+from ffwm_tpu.ops.warp import grid_sample
+
+INTERPRET = True  # compiled Mosaic path needs a real TPU
+
+
+def test_warp_pallas_forward(rng):
+    img = jnp.asarray(rng.rand(2, 16, 20, 8), jnp.float32)
+    grid = jnp.asarray(rng.rand(2, 9, 11, 2) * 3 - 1.5, jnp.float32)
+    out = grid_sample_pallas(img, grid, False, 64, INTERPRET)
+    ref = grid_sample(img, grid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_warp_pallas_nonmultiple_tile(rng):
+    img = jnp.asarray(rng.rand(1, 8, 8, 4), jnp.float32)
+    grid = jnp.asarray(rng.rand(1, 5, 7, 2) * 2 - 1, jnp.float32)  # 35 pos
+    out = grid_sample_pallas(img, grid, False, 16, INTERPRET)
+    ref = grid_sample(img, grid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_warp_pallas_grads_match(rng):
+    img = jnp.asarray(rng.rand(1, 8, 8, 4), jnp.float32)
+    grid = jnp.asarray(rng.rand(1, 6, 6, 2) * 2 - 1, jnp.float32)
+    cot = jnp.asarray(rng.rand(1, 6, 6, 4), jnp.float32)
+    g1 = jax.grad(lambda i, g: jnp.vdot(
+        grid_sample_pallas(i, g, False, 16, INTERPRET), cot), (0, 1))(img, grid)
+    g2 = jax.grad(lambda i, g: jnp.vdot(grid_sample(i, g), cot), (0, 1))(img, grid)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.parametrize("k,sigma", [(2, 5.0), (4, 2.0)])
+def test_resample2d_pallas_forward(rng, k, sigma):
+    img = jnp.asarray(rng.rand(2, 9, 11, 4), jnp.float32)
+    flow = jnp.asarray(rng.rand(2, 9, 11, 2) * 4 - 2, jnp.float32)
+    out = resample2d_pallas(img, flow, sigma, k, 1, 64, INTERPRET)
+    ref = resample2d(img, flow, sigma, kernel_size=k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_resample2d_pallas_grads(rng):
+    img = jnp.asarray(rng.rand(1, 6, 6, 2), jnp.float32)
+    flow = jnp.asarray(rng.rand(1, 6, 6, 2) * 2 - 1, jnp.float32)
+    cot = jnp.asarray(rng.rand(1, 6, 6, 2), jnp.float32)
+    g1 = jax.grad(lambda i, f: jnp.vdot(
+        resample2d_pallas(i, f, 2.0, 4, 1, 36, INTERPRET), cot), (0, 1))(img, flow)
+    g2 = jax.grad(lambda i, f: jnp.vdot(
+        resample2d(i, f, 2.0, kernel_size=4), cot), (0, 1))(img, flow)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_block_extractor_pallas_forward(rng, k):
+    src = jnp.asarray(rng.rand(2, 10, 12, 3), jnp.float32)
+    flow = jnp.asarray(rng.rand(2, 6, 7, 2) * 8 - 4, jnp.float32)
+    out = block_extractor_pallas(src, flow, k, 32, INTERPRET)
+    ref = block_extractor(src, flow, k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_block_extractor_pallas_grads(rng):
+    src = jnp.asarray(rng.rand(1, 7, 7, 2), jnp.float32)
+    flow = jnp.asarray(rng.rand(1, 4, 4, 2) * 2 - 1, jnp.float32)
+    cot = jnp.asarray(rng.rand(1, 12, 12, 2), jnp.float32)
+    g1 = jax.grad(lambda s, f: jnp.vdot(
+        block_extractor_pallas(s, f, 3, 16, INTERPRET), cot), (0, 1))(src, flow)
+    g2 = jax.grad(lambda s, f: jnp.vdot(
+        block_extractor(s, f, 3), cot), (0, 1))(src, flow)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -77,7 +77,7 @@ def main():
         forward, fv, gv = build(dtype)
         best = 0.0
         best_b = 0
-        for batch in (1, 8, 32, 64, 128):
+        for batch in (32, 128):
             try:
                 ips = measure(forward, fv, gv, batch, dtype)
             except Exception as e:  # OOM etc.

@@ -335,12 +335,21 @@ class SpectralNorm(nn.Module):
         )
 
         u, v = u_var.value, v_var.value
-        if update_stats:
+        if self.is_initializing():
+            # Converge u/v at init so sigma estimates the true spectral norm
+            # from the first step (a raw random u/v gives a near-zero sigma
+            # that explodes deep eval-mode stacks; converted checkpoints
+            # overwrite u/v anyway).
+            for _ in range(15):
+                v = _l2norm(jnp.matmul(u, w_mat), self.eps)
+                u = _l2norm(jnp.matmul(w_mat, v), self.eps)
+            u_var.value = jax.lax.stop_gradient(u)
+            v_var.value = jax.lax.stop_gradient(v)
+        elif update_stats:
             v = _l2norm(jnp.matmul(u, w_mat), self.eps)
             u = _l2norm(jnp.matmul(w_mat, v), self.eps)
-            if not self.is_initializing():
-                u_var.value = jax.lax.stop_gradient(u)
-                v_var.value = jax.lax.stop_gradient(v)
+            u_var.value = jax.lax.stop_gradient(u)
+            v_var.value = jax.lax.stop_gradient(v)
         u = jax.lax.stop_gradient(u)
         v = jax.lax.stop_gradient(v)
         sigma = jnp.dot(u, jnp.matmul(w_mat, v))

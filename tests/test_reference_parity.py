@@ -158,6 +158,50 @@ def test_lightcnn_parity(ref_lcnn, rng):
     np.testing.assert_allclose(np.asarray(pool), _nhwc(tpool), atol=2e-5)
 
 
+def test_full_inference_parity(ref_nets, rng):
+    """The BASELINE.md <1e-3 gate, end to end: flowNetF -> netG -> guided
+    filter on the same input, reference torch vs converted ffwm_tpu
+    (reference test_forward, models/ffwm_model.py:183-189)."""
+    torch.manual_seed(7)
+    t_flow = ref_nets.FlowNet(64).eval()
+    t_gen = ref_nets.FFWM(sn=True)
+    # a couple of train-mode forwards converge the spectral-norm power
+    # iteration (fresh random u/v give degenerate sigmas -> NaN in both
+    # frameworks; released checkpoints carry converged u/v)
+    with torch.no_grad():
+        for _ in range(8):
+            t_gen(torch.rand(1, 3, 128, 128),
+                  flow=[torch.rand(1, 2, s, s) * 2 - 1 for s in (32, 64, 128)])
+    t_gen = t_gen.eval()
+    ref_ext = _load_ref(f"{REF}/models/external_function.py", "ref_external")
+    t_gf = ref_ext.GuidedFilter(32)
+
+    from ffwm_tpu.engine import build_models, make_ffwm_inference
+
+    models = build_models()
+    flow_vars = convert_state_dict(t_flow.state_dict(), "flownet")
+    gen_vars = convert_state_dict(t_gen.state_dict(), "ffwm")
+    infer = make_ffwm_inference(models)
+
+    img_s = rng.rand(1, 128, 128, 3).astype(np.float32)
+    img_f = rng.rand(1, 128, 128, 3).astype(np.float32)
+    out = infer(flow_vars, gen_vars, jnp.asarray(img_s), jnp.asarray(img_f))
+
+    with torch.no_grad():
+        f128, f64, f32 = t_flow(_nchw(img_s))
+        _, _, fake128, att = t_gen(_nchw(img_s), flow=[f32, f64, f128],
+                                   return_att=True)
+        gf128 = t_gf(fake128, _nchw(img_f))
+
+    fake_diff = np.abs(np.asarray(out["fake_F128"]) - _nhwc(fake128))
+    gf_diff = np.abs(np.asarray(out["img_GF128"]) - _nhwc(gf128))
+    assert fake_diff.mean() < 1e-3, fake_diff.mean()   # the parity gate
+    assert fake_diff.max() < 1e-3, fake_diff.max()
+    assert gf_diff.mean() < 1e-3, gf_diff.mean()
+    att_ref = torch.mean(att[:, :64], dim=1, keepdim=True)
+    np.testing.assert_allclose(np.asarray(out["att"]), _nhwc(att_ref), atol=1e-4)
+
+
 def _torch_vgg19_features():
     """torchvision vgg19().features layout rebuilt from public torch.nn
     modules (torchvision itself is unavailable offline); the canonical VGG19

@@ -286,22 +286,39 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
     return train_step
 
 
-def make_ffwm_inference(models: FFWMModels, return_att: bool = True):
+def make_ffwm_inference(models: FFWMModels, return_att: bool = True,
+                        dtype=jnp.float32):
     """The test path (reference test_forward, :183-189): flowF -> netG ->
     guided filter. jitted; variables passed per-call so converted
-    checkpoints plug in."""
+    checkpoints plug in.
+
+    dtype=jnp.bfloat16 runs the conv stacks in bf16 on the MXU (~1.3x
+    faster on v5e); the guided filter and outputs stay fp32. fp32 is the
+    parity configuration for the <1e-3 gate.
+    """
+
+    def _cast(tree):
+        if dtype == jnp.float32:
+            return tree
+        return jax.tree.map(
+            lambda t: t.astype(dtype) if t.dtype == jnp.float32 else t, tree)
 
     @jax.jit
     def infer(flow_f_vars, gen_vars, img_s, img_f):
-        f128, f64, f32 = models.flownet.apply(flow_f_vars, img_s, train=False)
-        img_s_warp = warp(img_s, f128)
-        out = models.gen.apply(gen_vars, img_s, (f32, f64, f128),
+        fv, gv = _cast(flow_f_vars), _cast(gen_vars)
+        x = img_s.astype(dtype)
+        f128, f64, f32 = models.flownet.apply(fv, x, train=False)
+        img_s_warp = warp(img_s, f128.astype(jnp.float32))
+        out = models.gen.apply(gv, x, (f32, f64, f128),
                                train=False, return_att=True)
         _, _, fake128, att = out
-        att_map = jnp.mean(att[..., :64], axis=-1, keepdims=True)
+        fake128 = fake128.astype(jnp.float32)
+        att_map = jnp.mean(att[..., :64].astype(jnp.float32), axis=-1,
+                           keepdims=True)
         gf128 = guided_filter(fake128, img_f, gf_radius(fake128.shape[1]))
         return {"fake_F128": fake128, "img_GF128": gf128,
-                "img_S_warp": img_s_warp, "flow": f128, "att": att_map}
+                "img_S_warp": img_s_warp, "flow": f128.astype(jnp.float32),
+                "att": att_map}
 
     return infer
 

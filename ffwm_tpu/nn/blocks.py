@@ -193,6 +193,43 @@ class ConvBlock(nn.Module):
         return x
 
 
+class DeConvBlock(nn.Module):
+    """ConvTranspose [+ bn] [+ activ] [+ res] — reference DeConvBlock
+    (:248-259). Capability surface; the live generator upsamples with
+    PixelShuffleBlock instead."""
+
+    inc: int
+    outc: int
+    ks: int = 3
+    s: int = 1
+    p: int = 0
+    op: int = 0
+    activ: Optional[str] = "relu"
+    norm: str = "bn"
+    res: int = 0
+    resk: int = 3
+    bn: bool = True
+    sn: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = ConvTranspose2d(self.outc, self.ks, self.s, self.p,
+                            output_padding=self.op, name="0")(x)
+        idx = 1
+        if self.bn:
+            x = BatchNorm2d(name=str(idx))(x, use_running_average=not train)
+            idx += 1
+        if self.activ is not None:
+            x = get_activ(self.activ)(x)
+            idx += 1
+        for _ in range(self.res):
+            x = ResidualBlock(self.outc, activ=self.activ, norm=self.norm,
+                              kernel=self.resk, sn=self.sn,
+                              name=str(idx))(x, train)
+            idx += 1
+        return x
+
+
 class PixelShuffleBlock(nn.Module):
     """Conv(outc*4, 3x3) -> PixelShuffle(2) [+ bn] [+ activ] [+ res] —
     reference PixelSuffleBlock (:261-272). The ks/s/p constructor args of the

@@ -84,7 +84,8 @@ def main():
               "meaningless (random identity features)")
         lc_vars = lc_init
 
-    infer = make_ffwm_inference(models)
+    infer = make_ffwm_inference(
+        models, dtype=jnp.bfloat16 if opt.bf16 else jnp.float32)
 
     @jax.jit
     def identity_feature(img):

@@ -23,6 +23,10 @@ import sys
 import time
 
 import jax
+
+# persistent compile cache: driver re-runs skip the (slow) first compile
+jax.config.update("jax_compilation_cache_dir", "/tmp/ffwm_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,7 +92,7 @@ def main():
     results = {}
     for name, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
         best, best_b = 0.0, 0
-        for batch in (32, 128):
+        for batch in (128,):
             try:
                 ips = measure(dtype, batch)
             except Exception as e:  # OOM etc.

@@ -18,22 +18,32 @@ INTERPRET = True  # compiled Mosaic path needs a real TPU
 
 def test_warp_pallas_forward(rng):
     img = jnp.asarray(rng.rand(2, 16, 20, 8), jnp.float32)
-    grid = jnp.asarray(rng.rand(2, 9, 11, 2) * 3 - 1.5, jnp.float32)
-    out = grid_sample_pallas(img, grid, False, 64, INTERPRET)
+    grid = jnp.asarray(rng.rand(2, 16, 20, 2) * 3 - 1.5, jnp.float32)
+    out = grid_sample_pallas(img, grid, False, 8, INTERPRET)
     ref = grid_sample(img, grid)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
-def test_warp_pallas_nonmultiple_tile(rng):
+def test_warp_pallas_channel_blocks_and_padding(rng):
+    # c=10 with c_block=8 exercises channel padding + multi-block grid
+    img = jnp.asarray(rng.rand(1, 8, 8, 10), jnp.float32)
+    grid = jnp.asarray(rng.rand(1, 8, 8, 2) * 2 - 1, jnp.float32)
+    out = grid_sample_pallas(img, grid, False, 8, INTERPRET)
+    ref = grid_sample(img, grid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_warp_pallas_fallback_other_geometry(rng):
+    # output positions != source pixels -> XLA fallback path
     img = jnp.asarray(rng.rand(1, 8, 8, 4), jnp.float32)
-    grid = jnp.asarray(rng.rand(1, 5, 7, 2) * 2 - 1, jnp.float32)  # 35 pos
+    grid = jnp.asarray(rng.rand(1, 5, 7, 2) * 2 - 1, jnp.float32)
     out = grid_sample_pallas(img, grid, False, 16, INTERPRET)
     ref = grid_sample(img, grid)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
 def test_warp_pallas_grads_match(rng):
-    img = jnp.asarray(rng.rand(1, 8, 8, 4), jnp.float32)
+    img = jnp.asarray(rng.rand(1, 6, 6, 4), jnp.float32)
     grid = jnp.asarray(rng.rand(1, 6, 6, 2) * 2 - 1, jnp.float32)
     cot = jnp.asarray(rng.rand(1, 6, 6, 4), jnp.float32)
     g1 = jax.grad(lambda i, g: jnp.vdot(

@@ -11,11 +11,13 @@ dev backend). Timing = wall clock of the blocked program / (ITERS * batch).
 Reports fp32 (the parity configuration — matches the PyTorch reference
 <1e-3) as the headline and bf16 as the fast path.
 
-Baseline anchor: the reference publishes no numbers (BASELINE.md). The
-PyTorch reference's test path is single-image; batched on a V100-class GPU
-it sustains roughly 1000 img/s (documented estimate — the reference
-hardware isn't available here; BASELINE.json's target is >=5x per chip).
-vs_baseline = value / 1000.
+Baseline anchor: the reference publishes no numbers (BASELINE.md), and its
+GPU is not available here, so the anchor is derived from first principles:
+the inference path is exactly 107.9 GFLOP/image (XLA cost analysis); the
+reference runs plain fp32 PyTorch 1.5 (no AMP/tensor cores, NCHW), which
+sustains ~11 TF/s on a V100's 15.7 TF/s fp32 peak for 3x3 convs ->
+~100 img/s batched (the actual test_ffwm.py loop is batch-1 and slower).
+vs_baseline = value / 100. BASELINE.json's target is >=5x per chip.
 """
 
 import json
@@ -30,7 +32,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_IMG_S = 1000.0  # documented estimate of batched PyTorch-GPU throughput
+BASELINE_IMG_S = 100.0  # FLOP-derived estimate of batched fp32 PyTorch-V100 throughput
 ITERS = 16
 
 

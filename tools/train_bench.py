@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Training-step throughput on the real chip (reference config: 128 px,
+FFWM batch 8 / flow batch 6 — options/base_options.py:57, README.md:105).
+
+Uses chained steps with donated state (the state update itself is the data
+dependency) and scalar-fetch timing like bench.py.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/ffwm_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+import jax.numpy as jnp
+import numpy as np
+
+STEPS = 4
+
+
+def bench_ffwm(batch=8, s=128):
+    from ffwm_tpu.engine import (build_models, create_ffwm_train_state,
+                                 make_ffwm_train_step)
+
+    models = build_models()
+    state, txs = create_ffwm_train_state(jax.random.PRNGKey(0), models,
+                                         image_size=s)
+    lc = models.lightcnn.init(jax.random.PRNGKey(1), jnp.zeros((1, s, s, 1)))
+    vgg = models.vgg.init(jax.random.PRNGKey(2), jnp.zeros((1, s, s, 3)))
+    frozen = {"lightcnn": lc, "vgg": vgg}
+    step = make_ffwm_train_step(models, txs)
+    r = np.random.RandomState(0)
+    batch_d = {
+        "img_S": jnp.asarray(r.rand(batch, s, s, 3), jnp.float32),
+        "img_F": jnp.asarray(r.rand(batch, s, s, 3), jnp.float32),
+        "lm_F": jnp.asarray(r.randint(0, s, (batch, 580, 2)), jnp.int32),
+        "mask_S": jnp.asarray((r.rand(batch, s, s, 1) > 0.2), jnp.float32),
+        "mask_F": jnp.asarray((r.rand(batch, s, s, 1) > 0.2), jnp.float32),
+    }
+    state, m = step(state, batch_d, frozen)  # compile
+    jax.device_get(m["loss_G"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, m = step(state, batch_d, frozen)
+    jax.device_get(m["loss_G"])
+    dt = (time.perf_counter() - t0) / STEPS
+    print(f"ffwm train step b={batch}: {dt * 1e3:.1f} ms/step -> "
+          f"{batch / dt:.1f} img/s", flush=True)
+
+
+def bench_flow(batch=6, s=128):
+    from ffwm_tpu.engine import create_flow_train_state, make_flow_train_step
+    from ffwm_tpu.models import VGG19Features
+
+    model, state, tx = create_flow_train_state(jax.random.PRNGKey(0),
+                                               image_size=s)
+    vgg = VGG19Features(max_layer="relu3_1")
+    vgg_vars = vgg.init(jax.random.PRNGKey(1), jnp.zeros((1, s, s, 3)))
+    step = make_flow_train_step(model, tx)
+    r = np.random.RandomState(0)
+    batch_d = {
+        "img_S": jnp.asarray(r.rand(batch, s, s, 3), jnp.float32),
+        "img_F": jnp.asarray(r.rand(batch, s, s, 3), jnp.float32),
+        "lm_S": jnp.asarray(r.randint(0, s, (batch, 580, 2)), jnp.int32),
+        "lm_F": jnp.asarray(r.randint(0, s, (batch, 580, 2)), jnp.int32),
+        "gate": jnp.asarray((r.rand(batch, 580, 2) > 0.2), jnp.float32),
+        "mask": jnp.asarray((r.rand(batch, s, s, 1) > 0.2), jnp.float32),
+    }
+    state, m = step(state, batch_d, vgg_vars)
+    jax.device_get(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, m = step(state, batch_d, vgg_vars)
+    jax.device_get(m["loss"])
+    dt = (time.perf_counter() - t0) / STEPS
+    print(f"flow train step b={batch}: {dt * 1e3:.1f} ms/step -> "
+          f"{batch / dt:.1f} img/s", flush=True)
+
+
+if __name__ == "__main__":
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {dev.device_kind}", flush=True)
+    bench_flow()
+    bench_ffwm()

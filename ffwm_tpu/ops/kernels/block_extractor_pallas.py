@@ -98,7 +98,7 @@ def _forward(source, flow, k, tile, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def block_extractor_pallas(source, flow, kernel_size: int = 3,
-                           tile: int = 1024, interpret: bool = False):
+                           tile: int = 1024, interpret: bool = True):
     """Flow-addressed block gather; Pallas forward / XLA backward."""
     return _forward(source, flow, kernel_size, tile, interpret)
 

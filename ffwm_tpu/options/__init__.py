@@ -33,7 +33,13 @@ def base_parser(phase: str) -> argparse.ArgumentParser:
     p.add_argument("--num_threads", type=int, default=4)
     p.add_argument("--preload", action="store_true",
                    help="preload all images into RAM")
+    p.add_argument("--serial_batches", action="store_true",
+                   help="take images in order instead of shuffling")
     p.add_argument("--max_dataset_size", type=int, default=None)
+    p.add_argument("--display_id", type=int, default=0,
+                   help=">0 enables tensorboard scalar/image logging")
+    p.add_argument("--suffix", type=str, default="",
+                   help="name suffix template, e.g. {model}_{load_size}")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--phase", type=str, default=phase)
@@ -95,6 +101,9 @@ def test_parser() -> argparse.ArgumentParser:
 
 
 def print_and_save(opt: argparse.Namespace, phase: str) -> None:
+    if getattr(opt, "suffix", ""):
+        suffix = ("_" + opt.suffix.format(**vars(opt)))
+        opt.name = opt.name + suffix
     msg = "----------------- Options ---------------\n"
     for k, v in sorted(vars(opt).items()):
         msg += f"{k:>25}: {v}\n"

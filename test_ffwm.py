@@ -88,8 +88,17 @@ def main():
         models, dtype=jnp.bfloat16 if opt.bf16 else jnp.float32)
 
     @jax.jit
-    def identity_feature(img):
+    def identity_feature(lc_vars, img):
         gray = grayscale(img)
+        if opt.crop:
+            gray = _center_crop(gray)
+        _, fc, _ = models.lightcnn.apply(lc_vars, gray)
+        return fc
+
+    @jax.jit
+    def gallery_feature(lc_vars, gray):
+        # reference get_gallery_fea (models/ffwm_model.py:164-176): gallery
+        # images are already grayscale; apply the same optional center crop
         if opt.crop:
             gray = _center_crop(gray)
         _, fc, _ = models.lightcnn.apply(lc_vars, gray)
@@ -104,8 +113,7 @@ def main():
 
         gallery_keys = list(ds.gallery_dict.keys())
         gallery = jnp.asarray(np.stack([ds.gallery_dict[k] for k in gallery_keys]))
-        gallery_feas = np.asarray(
-            models.lightcnn.apply(lc_vars, gallery)[1])
+        gallery_feas = np.asarray(gallery_feature(lc_vars, gallery))
 
         metric = Rank1Meter()
         n_done, t0 = 0, time.time()
@@ -114,7 +122,7 @@ def main():
             bsz = batch["img_S"].shape[0]
             out = infer(flow_vars, gen_vars,
                         jnp.asarray(batch["img_S"]), jnp.asarray(batch["img_F"]))
-            feas = np.asarray(identity_feature(out["fake_F128"]))
+            feas = np.asarray(identity_feature(lc_vars, out["fake_F128"]))
             metric.update(feas, files, gallery_feas, gallery_keys)
             n_done += bsz
             for idx, name in enumerate(files):

@@ -77,7 +77,8 @@ def main():
                             batch_size=opt.batch_size, load_size=opt.load_size,
                             aug=opt.aug, preload=opt.preload,
                             num_threads=opt.num_threads,
-                            max_dataset_size=opt.max_dataset_size, seed=opt.seed)
+                            max_dataset_size=opt.max_dataset_size,
+                            shuffle=not opt.serial_batches, seed=opt.seed)
     print(f"The number of training images = {len(loader.dataset)}")
 
     models = build_models()
@@ -120,7 +121,8 @@ def main():
     step_fn = make_ffwm_train_step(models, txs, crop_identity=opt.crop)
     infer_fn = make_ffwm_inference(models)
 
-    vis = Visualizer(opt.name, opt.checkpoints_dir, phase="train")
+    vis = Visualizer(opt.name, opt.checkpoints_dir, phase="train",
+                     tensorboard=opt.display_id > 0)
     total_iters = int(jax.device_get(state.titers))
     for epoch in range(opt.epoch_count, opt.niter + opt.niter_decay + 1):
         epoch_start = time.time()

@@ -86,7 +86,8 @@ def main():
                             batch_size=opt.batch_size, load_size=opt.load_size,
                             aug=opt.aug, preload=opt.preload,
                             num_threads=opt.num_threads,
-                            max_dataset_size=opt.max_dataset_size, seed=opt.seed)
+                            max_dataset_size=opt.max_dataset_size,
+                            shuffle=not opt.serial_batches, seed=opt.seed)
     print(f"The number of training images = {len(loader.dataset)}")
 
     model, state, tx = create_flow_train_state(
@@ -102,7 +103,8 @@ def main():
     vgg_vars = replicate(vgg_vars, mesh)
     step_fn = make_flow_train_step(model, tx, reverse=getattr(opt, "reverse", False))
 
-    vis = Visualizer(opt.name, opt.checkpoints_dir, phase="train")
+    vis = Visualizer(opt.name, opt.checkpoints_dir, phase="train",
+                     tensorboard=opt.display_id > 0)
     total_iters = 0
     for epoch in range(opt.epoch_count, opt.niter + opt.niter_decay + 1):
         epoch_start = time.time()

@@ -61,6 +61,36 @@ class ThroughputMeter:
         return self.ips
 
 
+def count_params(params) -> int:
+    """Total parameter count of a params pytree."""
+    import numpy as np
+
+    return int(sum(np.prod(x.shape) for x in jax.tree.leaves(params)))
+
+
+def print_networks(named_params: Dict[str, object], verbose: bool = False) -> None:
+    """Per-network parameter counts (reference BaseModel.print_networks,
+    models/base_model.py:231-247)."""
+    print("---------- Networks initialized -------------")
+    for name, params in named_params.items():
+        n = count_params(params)
+        print(f"[Network {name}] Total number of parameters : {n / 1e6:.3f} M")
+    print("-----------------------------------------------")
+
+
+def diagnose_gradients(grads, name: str = "network") -> float:
+    """Mean of mean-abs gradients per leaf (reference diagnose_network,
+    util/util.py:73-89) — a quick vanishing/exploding-gradient probe."""
+    import jax.numpy as jnp
+
+    leaves = jax.tree.leaves(grads)
+    if not leaves:
+        return 0.0
+    mean = float(sum(jnp.mean(jnp.abs(g)) for g in leaves) / len(leaves))
+    print(f"{name}: mean |grad| = {mean:.3e}")
+    return mean
+
+
 def summarize_memory() -> Dict[str, float]:
     """Per-device live-buffer bytes (when the backend exposes stats)."""
     out = {}

@@ -116,6 +116,10 @@ def main():
         print(f"resumed full train state from {opt.epoch}_state "
               f"(titers={int(state.titers)})")
 
+    from ffwm_tpu.utils.profiling import print_networks
+    print_networks({"netG": state.gen.params, "netD": state.disc.params,
+                    "flowNetF": state.flow_f.params,
+                    "flowNetB": state.flow_b.params})
     state = replicate(state, mesh)
     frozen = replicate(frozen, mesh)
     step_fn = make_ffwm_train_step(models, txs, crop_identity=opt.crop)

@@ -98,6 +98,8 @@ def main():
                              f"{opt.epoch}_state", target=state)
         print(f"resumed from {opt.epoch}_state")
 
+    from ffwm_tpu.utils.profiling import print_networks
+    print_networks({"flowNet": state.net.params})
     vgg_vars = load_vgg(opt.vgg, opt.load_size)
     state = replicate(state, mesh)
     vgg_vars = replicate(vgg_vars, mesh)

@@ -153,13 +153,25 @@ def _g_forward(models: FFWMModels, flow_f: NetState, flow_b: NetState,
 
 
 def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
-                         gan_mode: str = "lsgan"):
+                         gan_mode: str = "lsgan", remat_frozen: bool = True):
     """Returns jitted step(state, batch, frozen) -> (state, metrics).
 
     batch: img_S, img_F [B,128,128,3]; lm_F [B,580,2] int; mask_S, mask_F
     [B,128,128,1]. frozen: {'lightcnn': vars, 'vgg': vars}.
+
+    remat_frozen: rematerialize the frozen VGG/LightCNN feature extractors
+    in the backward pass — the step runs 14 VGG forwards (3 loss scales + 8
+    facial parts) and 4 LightCNN forwards whose activations otherwise
+    dominate HBM (~10 GB at batch 8); recompute costs ~10% FLOPs and avoids
+    spilling.
     """
     tx_g, tx_f, tx_d = txs
+
+    vgg_fwd = lambda v, img: models.vgg.apply(v, img)
+    lcnn_fwd = lambda v, img: models.lightcnn.apply(v, img)
+    if remat_frozen:
+        vgg_fwd = jax.checkpoint(vgg_fwd)
+        lcnn_fwd = jax.checkpoint(lcnn_fwd)
 
     def d_loss_fn(d_params, d_extra, gf128, img_f, mask_f):
         disc = NetState(params=d_params, extra=d_extra)
@@ -196,7 +208,7 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
         sel = lambda gf, raw: use_gf * gf + (1.0 - use_gf) * raw
         l128, l64, l32 = sel(gf128, fake128), sel(gf64, fake64), sel(gf32, fake32)
 
-        feats = lambda img: models.vgg.apply(frozen["vgg"], img)
+        feats = lambda img: vgg_fwd(frozen["vgg"], img)
         loss_prc = (
             perceptual_loss(feats, l128 * mask_f, img_f * mask_f)
             + perceptual_loss(feats, l64 * mask_f64, img_f64 * mask_f64)
@@ -210,7 +222,7 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
         loss_illu = illumination_loss(
             fwd["flows_b"], (fake128, fake64, fake32), img_s, mask_s)
 
-        lcnn = lambda img: models.lightcnn.apply(frozen["lightcnn"], img)
+        lcnn = lambda img: lcnn_fwd(frozen["lightcnn"], img)
         loss_iden_raw = identity_loss(lcnn, fake128, img_f, crop=crop_identity)
         loss_iden_gf = identity_loss(lcnn, gf128, img_f, crop=crop_identity)
 

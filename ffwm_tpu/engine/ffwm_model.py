@@ -24,7 +24,7 @@ batch_size), tracked in state.titers.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, NamedTuple, Tuple
+from typing import Any, NamedTuple
 
 import flax
 import jax

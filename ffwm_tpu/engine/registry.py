@@ -8,7 +8,7 @@ it with ``register_model``.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, NamedTuple
+from typing import Callable, Dict, NamedTuple
 
 
 class ModelEntry(NamedTuple):

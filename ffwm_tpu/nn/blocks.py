@@ -13,7 +13,7 @@ eval — models/ffwm_model.py:24-25, models/base_model.py:116-129).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -27,7 +27,6 @@ from ffwm_tpu.nn.layers import (
     get_activ,
     kaiming_normal_msra,
     leaky_relu,
-    max_pool2d,
     pixel_shuffle,
 )
 

@@ -25,7 +25,7 @@ reference gets from being single-device (SURVEY.md §2.7). Under
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

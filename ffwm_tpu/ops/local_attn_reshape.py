@@ -16,7 +16,6 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_size",))

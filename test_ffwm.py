@@ -29,8 +29,7 @@ from ffwm_tpu.engine.checkpoint import exists, restore_tree
 from ffwm_tpu.losses.identity import _center_crop
 from ffwm_tpu.models import grayscale
 from ffwm_tpu.options import print_and_save, test_parser
-from ffwm_tpu.parallel import make_mesh, pad_to_multiple, shard_batch
-from ffwm_tpu.utils import Rank1Meter, Visualizer, tensor2im
+from ffwm_tpu.utils import Rank1Meter, Visualizer
 from ffwm_tpu.utils.convert import load_pth
 
 

@@ -5,7 +5,6 @@ These mirror the reference's manual CUDA smoke tests
 test_local_attn_reshape.py): layout/identity checks + gradient checks.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

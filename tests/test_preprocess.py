@@ -2,7 +2,6 @@
 
 import json
 import os
-from os.path import join
 
 import cv2
 import numpy as np

@@ -46,7 +46,6 @@ def load_net_vars(path: str, kind: str, init_vars, what: str):
     """Load from an orbax checkpoint dir or a torch .pth; None if missing."""
     if not path:
         return None
-    from ffwm_tpu.engine.checkpoint import restore_tree as _restore
     import orbax.checkpoint as ocp
 
     if os.path.isdir(path + ".ckpt") or os.path.isdir(path):

@@ -29,13 +29,11 @@ from ffwm_tpu.engine import (
     save_tree,
     set_lr,
 )
-from ffwm_tpu.engine.flownet_model import FlowTrainState
-from ffwm_tpu.engine.common import NetState
 from ffwm_tpu.engine.schedule import get_lr
 from ffwm_tpu.models import VGG19Features
 from ffwm_tpu.options import print_and_save, train_parser
 from ffwm_tpu.parallel import make_mesh, pad_to_multiple, replicate, shard_batch
-from ffwm_tpu.utils import Visualizer, tensor2flow, tensor2im
+from ffwm_tpu.utils import Visualizer
 
 
 def load_vgg(path: str, image_size: int):

@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ffwm_tpu.ops.block_extractor import block_extractor
 from ffwm_tpu.ops.local_attn_reshape import local_attn_reshape
 from ffwm_tpu.nn.layers import avg_pool2d
 
@@ -45,6 +44,26 @@ def _affine_kernel(kz: int) -> np.ndarray:
     return np.transpose(oihw, (2, 3, 1, 0)).astype(np.float32)
 
 
+def _static_blocks(grid_ch: jax.Array, kz: int, hp: int, wp: int) -> jax.Array:
+    """block_extractor at its affine-reg operating point, statically.
+
+    With the constant flow kz//2 the sampled position of output pixel
+    (yf*k+i, xf*k+j) reduces to exactly (yf+i, xf+j) — integer, in-bounds
+    (hp = H-kz+1) — so the flow-driven gather degenerates to kz^2 shifted
+    slices (pure relayout; the dynamic-gather path costs ~19M serialized
+    row fetches per flow-train step at 128 px). Equality with
+    block_extractor is pinned by tests/test_losses.py.
+    """
+    b = grid_ch.shape[0]
+    rows = []
+    for i in range(kz):
+        cols = [grid_ch[:, i:i + hp, j:j + wp, :] for j in range(kz)]
+        rows.append(jnp.stack(cols, axis=3))                  # [B, hp, wp, kz, 1]
+    blocks = jnp.stack(rows, axis=3)                          # [B, hp, wp, kz, kz, 1]
+    blocks = blocks.transpose(0, 1, 3, 2, 4, 5)               # [B, hp, kz, wp, kz, 1]
+    return blocks.reshape(b, hp * kz, wp * kz, 1)
+
+
 def _single_scale(grid_ch: jax.Array, kz: int) -> jax.Array:
     """grid_ch: one coordinate channel [B, H, W, 1]."""
     weights = jnp.asarray(_affine_kernel(kz))
@@ -54,8 +73,7 @@ def _single_scale(grid_ch: jax.Array, kz: int) -> jax.Array:
     )  # [B, h', w', kz^2]
     b, hp, wp, _ = results.shape
     kernels_new = local_attn_reshape(results, kz)            # [B, kz h', kz w', 1]
-    const_flow = jnp.full((b, hp, wp, 2), float(kz // 2), grid_ch.dtype)
-    grid_h = block_extractor(grid_ch, const_flow, kz)        # [B, kz h', kz w', 1]
+    grid_h = _static_blocks(grid_ch, kz, hp, wp)             # [B, kz h', kz w', 1]
     pooled = avg_pool2d(grid_h * kernels_new, kz, kz)        # [B, h', w', 1]
     return jnp.mean(pooled) * kz**2
 

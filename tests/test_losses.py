@@ -191,6 +191,20 @@ def test_multi_affine_runs_all_scales(rng):
     assert np.isfinite(val) and val > 0
 
 
+def test_affine_static_blocks_equal_block_extractor(rng):
+    """The static patch path == block_extractor at the constant kz//2 flow."""
+    from ffwm_tpu.losses.affine import _static_blocks
+    from ffwm_tpu.ops import block_extractor
+
+    kz, h, w = 5, 20, 18
+    grid = jnp.asarray(rng.rand(2, h, w, 1).astype(np.float32) * 128)
+    hp, wp = h - kz + 1, w - kz + 1
+    const_flow = jnp.full((2, hp, wp, 2), float(kz // 2), jnp.float32)
+    a = _static_blocks(grid, kz, hp, wp)
+    b = block_extractor(grid, const_flow, kz)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_affine_grads_flow(rng):
     flow = jnp.asarray((rng.rand(1, 16, 16, 2).astype(np.float32) * 2) - 1)
     g = jax.grad(lambda f: affine_regularization_loss(f, 3))(flow)

@@ -216,6 +216,12 @@ def grid_sample(
     adjoint — fastest on TPU for both inference and training) or 'taps'
     (four row gathers, plain autodiff — the straightforward formulation,
     kept as oracle).
+
+    Measured note (v5e, 128^2): a one-hot matmul *forward* (like the
+    adjoint) beats the patch gather only for narrow channels (C=3: 0.26 vs
+    0.58 ms/img fp32, 0.17 vs 0.49 bf16) and loses at C>=64 (1.7 vs 0.58) —
+    and needs precision=HIGHEST for parity (default matmul precision leaves
+    ~4e-3 error). Not integrated: the model's hot warps are C>=64.
     """
     if mode == "bilinear" and impl == "patch":
         return _grid_sample_patch_diff(image, grid, align_corners)

@@ -14,7 +14,7 @@ sharded over the data mesh axis and XLA inserts the gradient all-reduce.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Tuple
 
 import flax
 import jax
@@ -53,7 +53,6 @@ def create_flow_train_state(rng: jax.Array, lr: float = 4e-4,
 def make_flow_train_step(
     model: FlowNet,
     tx: optax.GradientTransformation,
-    vgg_apply: Callable[[jax.Array], Dict[str, jax.Array]] = None,
     reverse: bool = False,
     loss_weights: Tuple[float, float] = (20.0, 0.01),
 ):

@@ -118,9 +118,12 @@ def roll_angle(lm_dict: Dict) -> float:
 
 def resize_landmarks(landmarks: np.ndarray, cx: float, cy: float, r: int,
                      load_size: int) -> np.ndarray:
-    out = landmarks.astype(np.float64).copy()
-    out[:, 0] -= cx - r
-    out[:, 1] -= cy - r
+    # dtype-preserving like the reference (data_process/process.py:30-38):
+    # face points arrive float32, hair points float64 — byte-identical
+    # truncation downstream requires matching the arithmetic precision.
+    out = np.array(landmarks)
+    out[:, 0] = out[:, 0] - (cx - r)
+    out[:, 1] = out[:, 1] - (cy - r)
     out = out * load_size / (r * 2)
     return np.clip(out, 0, load_size - 1).astype(np.float32)
 
@@ -156,10 +159,15 @@ def crop_and_resize(img: np.ndarray, cx: int, cy: int, r: int,
 
 
 def get_extra_landmarks(fr, fl, key: str, cx: int, cy: int, r: int,
-                        max_l: int, mask_face: np.ndarray, load_size: int,
-                        idx: Tuple[int, int]):
+                        max_l: int, mask_face: np.ndarray, load_size: int):
     """Hair/neck points offset outward from the face contour, pose-scaled,
-    gated by the face mask."""
+    gated by the face mask.
+
+    Both side families are ALWAYS generated — the reference hard-codes
+    ``idx = (0, max_l)`` (data_process/process.py:163) so its per-image
+    landmark count is constant and invalid-side points are culled by the
+    mask gate alone, never structurally."""
+    idx = (0, max_l)
     fr, fl = np.array(fr, np.float64), np.array(fl, np.float64)
     frl, fru = fr[:64], fr[64:]
     fll, flu = fl[64:], fl[:64]
@@ -204,7 +212,12 @@ def merge(lm_face, lm_hair, idx_face, max_l, gate_hair):
     landmarks = np.vstack([lm_face, lm_hair])
     gate = []
     gate += [1] * (max_l // 2) if idx_face[0] == 0 else [0] * (max_l // 2)
-    gate += [1] * (max_l // 2) if idx_face[1] == max_l else [0] * (max_l // 2)
+    # Reference quirk preserved verbatim (data_process/process.py:228): the
+    # second half is gated on ``idx_face[0] == max_l`` — which is never true
+    # (idx_face[0] is 0 or max_l//2) — so the right-half face landmarks are
+    # ALWAYS gated out of the landmark loss. The released checkpoints were
+    # trained on data produced this way; byte-identical gates require it.
+    gate += [1] * (max_l // 2) if idx_face[0] == max_l else [0] * (max_l // 2)
     gate += gate_hair.astype("float32").tolist()
     return landmarks, np.asarray(gate, np.float32)
 
@@ -238,8 +251,7 @@ def process_multipie_image(image_path: str, mask_path: str, lm_json: str,
     if idx_face is None:
         idx_face = get_valid_index(lm_dict["er"], lm_dict["el"], max_l)
     gate_hair, lm_hair = get_extra_landmarks(
-        lm_dict["fr"], lm_dict["fl"], key, cx, cy, r, max_l, mask, load_size,
-        idx_face)
+        lm_dict["fr"], lm_dict["fl"], key, cx, cy, r, max_l, mask, load_size)
     lm_full, gate_full = merge(lm_face, lm_hair, idx_face, max_l, gate_hair)
     return lm_full, gate_full, idx_face, mask, img
 
@@ -260,25 +272,6 @@ def process_frontal_only(image_path: str, lm_json: str, load_size: int = 128,
     cx, cy = int(lm_dict["centerx"]), int(lm_dict["centery"])
     r = int(max(abs(face[:, 1].max() - cy), abs(face[:, 1].min() - cy)))
     return crop_and_resize(cv2.imread(image_path), cx, cy, r, load_size, ang)
-
-
-def _pad_landmark_dicts(out: Dict) -> None:
-    """Pad every landmark/gate array to one uniform length (gate 0 on pads).
-
-    The reference's extra hair/neck landmarks make per-image landmark counts
-    depend on the half-face gate (full face gets ~2x the hair points), which
-    breaks batch collation; padded entries are inert — the landmark loss
-    multiplies by the gate (models/losses.py:74)."""
-    max_n = max(v.shape[0] for v in out["lm_S"].values())
-    for field in ("lm_S", "lm_F"):
-        for k, v in out[field].items():
-            if v.shape[0] < max_n:
-                pad = np.zeros((max_n - v.shape[0], 2), v.dtype)
-                out[field][k] = np.vstack([v, pad])
-    for k, v in out["gate"].items():
-        if v.shape[0] < max_n:
-            out["gate"][k] = np.concatenate(
-                [v, np.zeros(max_n - v.shape[0], v.dtype)])
 
 
 def process_multipie_train_split(img_dir: str, mask_dir: str, lm_dir: str,
@@ -316,7 +309,5 @@ def process_multipie_train_split(img_dir: str, mask_dir: str, lm_dir: str,
         cv2.imwrite(join(mask_save, basename(path_s)), mask_s)
         cv2.imwrite(join(mask_save, basename(path_f)), mask_f)
         n += 1
-    if n:
-        _pad_landmark_dicts(out)
     np.save(join(save_dir, "landmarks.npy"), out, allow_pickle=True)
     return n

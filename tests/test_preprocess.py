@@ -142,6 +142,47 @@ def test_process_multipie_image(raw_root):
     assert idx in [(0, lm_half * 2 // 2) for lm_half in [lm.shape[0] // 2]] or idx[0] == 0
 
 
+@pytest.mark.reference
+def test_golden_vs_reference_pipeline(raw_root):
+    """Byte-identical landmarks/gates/masks/images vs the reference
+    data_process/process.py run on the same synthetic Face++ inputs."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_process", "/root/reference/data_process/process.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    # the reference keeps these as script-level globals (process.py:402-409)
+    ref.load_size = 128
+    ref.lm_dir = str(raw_root / "lms")
+    ref.mask_dir = str(raw_root / "masks")
+
+    for ident in ("001", "002"):
+        for cam in ("051", "080"):
+            name = f"{ident}_01_01_{cam}_06.png"
+            img_path = str(raw_root / "images" / name)
+            lm_r, gate_r, idx_r, mask_r, img_r = ref.process_multipie_train(img_path)
+            lm, gate, idx, mask, img = process_multipie_image(
+                img_path,
+                str(raw_root / "masks" / f"{name[:-7]}_07.png"),
+                str(raw_root / "lms" / f"{name[:-7]}.json"))
+            assert tuple(idx) == tuple(idx_r), name
+            np.testing.assert_array_equal(lm, lm_r, err_msg=name)
+            np.testing.assert_array_equal(gate, gate_r, err_msg=name)
+            np.testing.assert_array_equal(mask, mask_r, err_msg=name)
+            np.testing.assert_array_equal(img, img_r, err_msg=name)
+            # the frontal pair path (idx_face propagated from the profile)
+            lm_rf, gate_rf, _, _, _ = ref.process_multipie_train(
+                str(raw_root / "images" / f"{ident}_01_01_051_06.png"), idx_r)
+            lm_f, gate_f, _, _, _ = process_multipie_image(
+                str(raw_root / "images" / f"{ident}_01_01_051_06.png"),
+                str(raw_root / "masks" / f"{ident}_01_01_051_07.png"),
+                str(raw_root / "lms" / f"{ident}_01_01_051.json"),
+                idx_face=idx)
+            np.testing.assert_array_equal(lm_f, lm_rf, err_msg=name)
+            np.testing.assert_array_equal(gate_f, gate_rf, err_msg=name)
+
+
 def test_full_train_split(raw_root, tmp_path):
     save = tmp_path / "out"
     n = process_multipie_train_split(

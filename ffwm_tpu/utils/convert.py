@@ -15,7 +15,9 @@ Layout rules:
   * spectral_norm weight_orig/weight_u/weight_v
         -> params kernel + spectral sn/{u,v}
   * FlowNet's dead occlusion branch (inter_conv_occ*, never called by the
-    reference forward — models/base_networks.py:92-97) is skipped.
+    reference forward — models/base_networks.py:92-97) is skipped on import
+    and synthesized (zero conv / unit BN) on export so the reference's
+    strict ``load_state_dict`` accepts round-tripped files.
 """
 
 from __future__ import annotations
@@ -137,7 +139,15 @@ def convert_state_dict(
 
 def export_state_dict(variables: Mapping[str, Any], kind: str) -> Dict[str, np.ndarray]:
     """Inverse of :func:`convert_state_dict` (for saving .pth-compatible
-    checkpoints; the FlowNet dead occ branch is absent by design)."""
+    checkpoints).
+
+    FlowNet exports synthesize the dead occlusion branch
+    (``inter_conv_occ*``, reference models/base_networks.py:92-97): the
+    reference's ``load_state_dict`` is strict by default
+    (models/base_model.py:207-229) and its real checkpoints carry those
+    never-used tensors, so a round-trippable export must too. They get
+    identity-ish defaults (zero conv, unit BN) — the reference forward never
+    touches them."""
     out: Dict[str, np.ndarray] = {}
 
     def walk(node, path, collection):
@@ -183,6 +193,22 @@ def export_state_dict(variables: Mapping[str, Any], kind: str) -> Dict[str, np.n
     for coll in ("params", "batch_stats", "spectral"):
         if coll in variables:
             walk(variables[coll], (), coll)
+
+    if kind == "flownet":
+        g = out["conv0.0.weight"].shape[0]  # ngf
+        # i_conv(in, out) channel table, reference base_networks.py:92-97
+        occ = {5: (16 * g + 1, 8 * g), 4: (12 * g + 1, 4 * g),
+               3: (6 * g + 1, 2 * g), 2: (g + 1, g),
+               1: (g // 2 + 1, g // 2), 0: (g // 4 + 1, g // 4)}
+        for i, (cin, cout) in occ.items():
+            pre = f"inter_conv_occ{i}"
+            out[f"{pre}.0.weight"] = np.zeros((cout, cin, 3, 3), np.float32)
+            out[f"{pre}.0.bias"] = np.zeros((cout,), np.float32)
+            out[f"{pre}.1.weight"] = np.ones((cout,), np.float32)
+            out[f"{pre}.1.bias"] = np.zeros((cout,), np.float32)
+            out[f"{pre}.1.running_mean"] = np.zeros((cout,), np.float32)
+            out[f"{pre}.1.running_var"] = np.ones((cout,), np.float32)
+            out[f"{pre}.1.num_batches_tracked"] = np.zeros((), np.int64)
     return out
 
 

@@ -89,11 +89,28 @@ def test_flownet_export_roundtrip(ref_nets):
     tnet = ref_nets.FlowNet(64).eval()
     variables = convert_state_dict(tnet.state_dict(), "flownet")
     sd = export_state_dict(variables, "flownet")
-    orig = {k: v for k, v in tnet.state_dict().items()
+    live = {k: v for k, v in tnet.state_dict().items()
             if "inter_conv_occ" not in k and "num_batches_tracked" not in k}
-    assert set(sd) == set(orig)
-    for k in orig:
-        np.testing.assert_allclose(sd[k], orig[k].numpy(), atol=0, err_msg=k)
+    assert set(live) <= set(sd)
+    for k in live:
+        np.testing.assert_allclose(sd[k], live[k].numpy(), atol=0, err_msg=k)
+
+    # The dead occ branch is synthesized on export so the reference's
+    # load_state_dict — strict by default (models/base_model.py:207-229) —
+    # accepts a round-tripped checkpoint, and the loaded net matches the
+    # original bit-for-bit on the live path.
+    tsd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    occ_shapes = {k: tuple(v.shape) for k, v in tnet.state_dict().items()
+                  if "inter_conv_occ" in k and "num_batches_tracked" not in k}
+    for k, shape in occ_shapes.items():
+        assert tuple(tsd[k].shape) == shape, k
+    tnet2 = ref_nets.FlowNet(64)
+    tnet2.load_state_dict(tsd)  # strict
+    tnet2.eval()
+    with torch.no_grad():
+        x = torch.rand(2, 3, 128, 128)
+        for ta, tb in zip(tnet(x), tnet2(x)):
+            np.testing.assert_array_equal(ta.numpy(), tb.numpy())
 
 
 def test_ffwm_parity(ref_nets, rng):

@@ -86,9 +86,16 @@ def create_ffwm_train_state(
     lr_d: float = 4e-4,
     flow_f_vars=None,
     flow_b_vars=None,
+    sharding=None,
 ):
     """Init all trainable nets (optionally seeding flownets from pretrained
-    converted variables, like opt.flownetf/--flownetb)."""
+    converted variables, like opt.flownetf/--flownetb).
+
+    sharding: optional jax.sharding.Sharding (normally replicated over the
+    mesh) applied as out_shardings of the init programs — the state is born
+    replicated on-device, skipping a host -> n_devices copy of the ~1 GB
+    params+Adam tree (which costs minutes on single-core CPU dryrun hosts).
+    """
     kf, kb, kg, kd = jax.random.split(rng, 4)
     x = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     flows = tuple(
@@ -96,20 +103,38 @@ def create_ffwm_train_state(
         for s in (image_size // 4, image_size // 2, image_size)
     )
 
-    flow_f = NetState.from_variables(
-        flow_f_vars or models.flownet.init(kf, x, train=True))
-    flow_b = NetState.from_variables(
-        flow_b_vars or models.flownet.init(kb, x, train=True))
-    gen = NetState.from_variables(models.gen.init(kg, x, flows, train=True))
-    disc = NetState.from_variables(models.disc.init(kd, x, train=True))
+    # jitted inits: one (persistently cacheable) program per net instead of
+    # hundreds of eagerly-dispatched op compiles — this is most of the cold
+    # start on single-core CPU hosts (the driver's multichip dryrun).
+    jit_kw = {} if sharding is None else {"out_shardings": sharding}
+    flow_init = jax.jit(lambda k, xx: models.flownet.init(k, xx, train=True),
+                        **jit_kw)
+    gen_init = jax.jit(lambda k, xx, fl: models.gen.init(k, xx, fl, train=True),
+                       **jit_kw)
+    disc_init = jax.jit(lambda k, xx: models.disc.init(k, xx, train=True),
+                        **jit_kw)
+
+    flow_f = NetState.from_variables(flow_f_vars or flow_init(kf, x))
+    flow_b = NetState.from_variables(flow_b_vars or flow_init(kb, x))
+    gen = NetState.from_variables(gen_init(kg, x, flows))
+    disc = NetState.from_variables(disc_init(kd, x))
+    if sharding is not None and (flow_f_vars or flow_b_vars):
+        # host-loaded pretrained flownets still need the explicit transfer
+        flow_f, flow_b = jax.device_put((flow_f, flow_b), sharding)
 
     tx_g, tx_f, tx_d = adam(lr_g), adam(lr_f), adam(lr_d)
+    opt_init = jax.jit(
+        lambda gp, fp, dp: (tx_g.init(gp), tx_f.init(fp), tx_d.init(dp)),
+        **jit_kw)
+    opt_g, opt_f, opt_d = opt_init(gen.params,
+                                   (flow_f.params, flow_b.params), disc.params)
+    titers = jnp.zeros((), jnp.int32)
+    if sharding is not None:
+        titers = jax.device_put(titers, sharding)
     state = FFWMTrainState(
         flow_f=flow_f, flow_b=flow_b, gen=gen, disc=disc,
-        opt_g=tx_g.init(gen.params),
-        opt_f=tx_f.init((flow_f.params, flow_b.params)),
-        opt_d=tx_d.init(disc.params),
-        titers=jnp.zeros((), jnp.int32),
+        opt_g=opt_g, opt_f=opt_f, opt_d=opt_d,
+        titers=titers,
     )
     return state, (tx_g, tx_f, tx_d)
 

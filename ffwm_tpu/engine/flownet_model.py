@@ -42,7 +42,7 @@ def create_flow_train_state(rng: jax.Array, lr: float = 4e-4,
                             image_size: int = 128) -> Tuple[FlowNet, FlowTrainState, optax.GradientTransformation]:
     model = FlowNet()
     x = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
-    variables = model.init(rng, x, train=True)
+    variables = jax.jit(lambda k, xx: model.init(k, xx, train=True))(rng, x)
     net = NetState.from_variables(variables)
     tx = adam(lr)
     opt_state = tx.init(net.params)

@@ -34,8 +34,13 @@ except Exception:
 jax.config.update("jax_enable_x64", False)
 # Parity tests compare against torch fp32; keep matmul/conv at full fp32.
 jax.config.update("jax_default_matmul_precision", "highest")
-# Persistent compilation cache: repeated test runs skip the big CPU compiles.
-jax.config.update("jax_compilation_cache_dir", "/tmp/ffwm_tpu_jax_cache")
+# Persistent compilation cache, committed into the repo (.jax_cache): a
+# *cold* run on a fresh box skips the big XLA:CPU compiles (the GAN train
+# step alone costs minutes on one core). Entries are keyed by HLO + compile
+# options + jaxlib version; the canonical XLA_FLAGS above keep keys stable.
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import numpy as np  # noqa: E402

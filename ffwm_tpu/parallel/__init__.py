@@ -5,6 +5,8 @@ from ffwm_tpu.parallel.mesh import (
     batch_sharding,
     make_host_array,
     make_mesh,
+    check_batch_divisible,
+    drop_remainder,
     pad_to_multiple,
     replicate,
     replicated,
@@ -16,6 +18,8 @@ __all__ = [
     "batch_sharding",
     "make_host_array",
     "make_mesh",
+    "check_batch_divisible",
+    "drop_remainder",
     "pad_to_multiple",
     "replicate",
     "replicated",

@@ -38,15 +38,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device-put a pytree of host arrays with the batch axis sharded."""
-    sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    """Device-put a pytree of host arrays with the batch axis sharded.
+
+    One device_put call for the whole tree — jax batches the transfers
+    (per-leaf puts pay per-call dispatch overhead).
+    """
+    return jax.device_put(batch, batch_sharding(mesh))
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
     """Replicate a pytree (params/optimizer state) across the mesh."""
-    sh = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.device_put(tree, replicated(mesh))
 
 
 def make_host_array(global_shape, mesh: Mesh, local_data: np.ndarray):
@@ -54,6 +56,43 @@ def make_host_array(global_shape, mesh: Mesh, local_data: np.ndarray):
     shard (wraps jax.make_array_from_process_local_data)."""
     sh = batch_sharding(mesh)
     return jax.make_array_from_process_local_data(sh, local_data, global_shape)
+
+
+def check_batch_divisible(batch_size: int, n_dev: int, flag: str = "--batch_size") -> None:
+    """Fail fast when the configured batch can't shard over the data mesh.
+
+    Training drops non-divisible batches (:func:`drop_remainder`); a batch
+    size that is itself not a multiple of the device count would therefore
+    drop EVERY batch and train nothing (e.g. the reference's flow default
+    batch 6 on a v5e-8 mesh). Loud error beats a silent no-op epoch.
+    """
+    if batch_size % n_dev:
+        raise SystemExit(
+            f"{flag} {batch_size} is not a multiple of the {n_dev}-device "
+            f"data mesh: every batch would be dropped (uneven shards can't "
+            f"split over the mesh; only an epoch's final partial batch is "
+            f"droppable). Use a multiple of {n_dev}.")
+
+
+def drop_remainder(batch: Any, multiple: int) -> Optional[Any]:
+    """Truncate the leading axis to a multiple of ``multiple``; None when the
+    whole batch is smaller than one sample per device.
+
+    Training-path counterpart of :func:`pad_to_multiple`: padding would feed
+    edge-replicated samples into losses, BatchNorm statistics and gradient
+    means at full weight — numerics the reference's single-device training
+    never sees. Dropping the (shuffled) tail keeps every gradient exact; use
+    :func:`pad_to_multiple` only for evaluation, where the caller masks the
+    padded rows out of the metric (real count is returned alongside).
+    """
+    leaves = jax.tree.leaves(batch)
+    n = leaves[0].shape[0]
+    keep = n - n % multiple
+    if keep == n:
+        return batch
+    if keep == 0:
+        return None
+    return jax.tree.map(lambda x: x[:keep], batch)
 
 
 def pad_to_multiple(batch: Any, multiple: int):

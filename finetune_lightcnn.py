@@ -30,7 +30,13 @@ from ffwm_tpu.engine.lightcnn_finetune import (
     make_lightcnn_feature_fn,
     make_lightcnn_train_step,
 )
-from ffwm_tpu.parallel import make_mesh, pad_to_multiple, replicate, shard_batch
+from ffwm_tpu.parallel import (
+    check_batch_divisible,
+    drop_remainder,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 from ffwm_tpu.utils import Rank1Meter
 from ffwm_tpu.utils.convert import load_pth
 
@@ -71,6 +77,7 @@ def main():
     args = parse_args()
     mesh = make_mesh()
     n_dev = len(mesh.devices.flatten())
+    check_batch_divisible(args.batch_size, n_dev, flag="--batch_size")
 
     pretrained = None
     if args.model_path and os.path.exists(args.model_path):
@@ -102,7 +109,9 @@ def main():
         t0 = time.time()
         for batch in train_loader:
             fb = {"image": batch["image"], "label": batch["label"]}
-            fb, _ = pad_to_multiple(fb, n_dev)
+            fb = drop_remainder(fb, n_dev)
+            if fb is None:
+                continue
             fb = shard_batch(fb, mesh)
             rng, drng = jax.random.split(rng)
             state, metrics = step_fn(state, fb, drng)

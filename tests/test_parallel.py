@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 from ffwm_tpu.parallel import (
     batch_sharding,
+    drop_remainder,
     make_mesh,
     pad_to_multiple,
     replicate,
@@ -32,6 +33,33 @@ def test_pad_to_multiple(rng):
     assert n == 13 and padded["x"].shape[0] == 16
     np.testing.assert_array_equal(padded["x"][:13], batch["x"])
     np.testing.assert_array_equal(padded["x"][13:], np.repeat(batch["x"][-1:], 3, 0))
+
+
+def test_drop_remainder(rng):
+    """Training batches truncate (never pad): padded duplicates would enter
+    losses/BN/grad means at full weight — numerics the reference never has."""
+    batch = {"x": rng.rand(13, 4).astype(np.float32)}
+    kept = drop_remainder(batch, 8)
+    assert kept["x"].shape[0] == 8
+    np.testing.assert_array_equal(kept["x"], batch["x"][:8])
+    assert drop_remainder({"x": batch["x"][:3]}, 8) is None
+    same = drop_remainder(batch, 13)
+    assert same["x"].shape[0] == 13
+
+
+def test_check_batch_divisible():
+    """batch_size < or not multiple of n_dev would drop EVERY training batch
+    (silent no-op epochs, e.g. reference flow default 6 on 8 devices) —
+    trainers must fail fast instead."""
+    from ffwm_tpu.parallel import check_batch_divisible
+
+    check_batch_divisible(8, 8)
+    check_batch_divisible(16, 8)
+    check_batch_divisible(6, 1)
+    with pytest.raises(SystemExit, match="not a multiple"):
+        check_batch_divisible(6, 8)
+    with pytest.raises(SystemExit, match="not a multiple"):
+        check_batch_divisible(12, 8)
 
 
 def test_sharded_grid_warp_matches_single_device(mesh, rng):

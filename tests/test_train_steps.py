@@ -74,6 +74,65 @@ def test_flow_train_step(flow_setup, rng):
     assert int(state3.step) == 2
 
 
+def test_reverse_flow_training_semantics(flow_setup, rng):
+    """Pin the --reverse double-handling: adapt_batch swaps S/F roles AND
+    the step feeds batch['img_F'] (the original *profile*) to the flownet —
+    matching reference flownet_model.py:39-62. A refactor that double-swaps
+    would silently train the reverse flow on the frontal image.
+    """
+    from train_flow import adapt_batch
+
+    from ffwm_tpu.engine import make_flow_train_step
+    from ffwm_tpu.engine.common import apply_mutable
+    from ffwm_tpu.losses import (
+        correctness_loss,
+        multi_affine_regularization_loss,
+        multiscale_landmark_loss,
+    )
+    from ffwm_tpu.models import VGG19Features
+
+    model, state, tx, vgg_vars = flow_setup
+    b = 2
+    raw = {
+        "img_S": rng.rand(b, S, S, 3).astype(np.float32),
+        "img_F": rng.rand(b, S, S, 3).astype(np.float32),
+        "lm_S": rng.randint(0, S, (b, 580, 2)).astype(np.int64),
+        "lm_F": rng.randint(0, S, (b, 580, 2)).astype(np.int64),
+        "gate": (rng.rand(b, 580, 1) > 0.2).astype(np.float32),
+        "mask_S": (rng.rand(b, S, S, 1) > 0.2).astype(np.float32),
+        "mask_F": (rng.rand(b, S, S, 1) > 0.2).astype(np.float32),
+    }
+    adapted = adapt_batch(raw, reverse=True)
+    # role swap: adapted img_F must be the original PROFILE image
+    np.testing.assert_array_equal(adapted["img_F"], raw["img_S"])
+    np.testing.assert_array_equal(adapted["img_S"], raw["img_F"])
+    np.testing.assert_array_equal(adapted["mask"], raw["mask_S"])
+
+    step = make_flow_train_step(model, tx, reverse=True)
+    state_in = jax.tree.map(jnp.copy, state)
+    jb = {k: jnp.asarray(v) for k, v in adapted.items()}
+    _, metrics = step(state_in, jb, vgg_vars)
+
+    # hand-computed loss with explicitly raw-indexed tensors (flow from the
+    # original profile; correctness target=profile source=frontal; landmarks
+    # swapped; mask_S)
+    (f128, f64, f32), _ = apply_mutable(
+        model, state.net, jnp.asarray(raw["img_S"]), train=True)
+    vgg = VGG19Features(max_layer="relu3_1")
+    feats = lambda img: vgg.apply(vgg_vars, img)
+    gate2 = jnp.asarray(np.concatenate([raw["gate"], raw["gate"]], axis=2))
+    loss = (
+        correctness_loss(feats, jnp.asarray(raw["img_S"]),
+                         jnp.asarray(raw["img_F"]), [f32, f64, f128],
+                         [2, 1, 0], norm_mask=jnp.asarray(raw["mask_S"])) * 20.0
+        + multi_affine_regularization_loss([f32, f64, f128]) * 0.01
+        + multiscale_landmark_loss(
+            [f128, f64, f32], jnp.asarray(raw["lm_F"], jnp.int32),
+            jnp.asarray(raw["lm_S"], jnp.int32), gate2)
+    )
+    np.testing.assert_allclose(float(metrics["loss"]), float(loss), rtol=1e-5)
+
+
 def test_flow_checkpoint_roundtrip(flow_setup, tmp_path):
     model, state, tx, _ = flow_setup
     save_tree(str(tmp_path), "flownetf", "latest_net_flowNet", state.net.variables)

@@ -36,9 +36,15 @@ from ffwm_tpu.engine import (
     save_tree,
     set_lr,
 )
-from ffwm_tpu.engine.schedule import get_lr
+from ffwm_tpu.engine.schedule import PlateauTracker, get_lr
 from ffwm_tpu.options import print_and_save, train_parser
-from ffwm_tpu.parallel import make_mesh, pad_to_multiple, replicate, shard_batch
+from ffwm_tpu.parallel import (
+    check_batch_divisible,
+    drop_remainder,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 from ffwm_tpu.utils import Visualizer
 
 
@@ -71,6 +77,7 @@ def main():
     mesh = make_mesh()
     n_dev = len(mesh.devices.flatten())
     print(f"mesh: {n_dev} device(s)")
+    check_batch_divisible(opt.batch_size, n_dev)
 
     loader = create_dataset(opt.dataroot, datamode=opt.datamode, phase="train",
                             batch_size=opt.batch_size, load_size=opt.load_size,
@@ -127,27 +134,43 @@ def main():
     vis = Visualizer(opt.name, opt.checkpoints_dir, phase="train",
                      tensorboard=opt.display_id > 0)
     total_iters = int(jax.device_get(state.titers))
+    # 'plateau' needs a per-epoch metric (reference feeds self.metric,
+    # base_model.py:148-149); we feed the epoch-mean loss_G. The decayed
+    # *scale* applies to all three optimizers like the reference's per-
+    # optimizer ReduceLROnPlateau schedulers stepping on the same metric.
+    plateau = (PlateauTracker(1.0, factor=0.2, patience=5, threshold=1e-2)
+               if opt.lr_policy == "plateau" else None)
     for epoch in range(opt.epoch_count, opt.niter + opt.niter_decay + 1):
         epoch_start = time.time()
         e = epoch - opt.epoch_count
-        lr_g = get_lr(opt.lr_policy, opt.lr, e, decay_epochs=opt.lr_decay_iters,
-                      niter=opt.niter, niter_decay=opt.niter_decay)
-        lr_f = get_lr(opt.lr_policy, 5e-5, e, decay_epochs=opt.lr_decay_iters,
-                      niter=opt.niter, niter_decay=opt.niter_decay)
+        if plateau is not None:
+            lr_g, lr_f = opt.lr * plateau.lr, 5e-5 * plateau.lr
+        else:
+            lr_g = get_lr(opt.lr_policy, opt.lr, e,
+                          decay_epochs=opt.lr_decay_iters,
+                          niter=opt.niter, niter_decay=opt.niter_decay)
+            lr_f = get_lr(opt.lr_policy, 5e-5, e,
+                          decay_epochs=opt.lr_decay_iters,
+                          niter=opt.niter, niter_decay=opt.niter_decay)
         state = state.replace(opt_g=set_lr(state.opt_g, lr_g),
                               opt_f=set_lr(state.opt_f, lr_f),
                               opt_d=set_lr(state.opt_d, lr_g))
         t_data_mark = time.time()
         last_batch = None
+        epoch_losses = []  # device scalars; fetched once at epoch end
         for batch in loader:
             t_data = time.time() - t_data_mark
             fb = {k: batch[k] for k in
                   ("img_S", "img_F", "lm_F", "mask_S", "mask_F")}
-            fb, _ = pad_to_multiple(fb, n_dev)
+            fb = drop_remainder(fb, n_dev)
+            if fb is None:
+                t_data_mark = time.time()
+                continue
             fb = shard_batch(fb, mesh)
             last_batch = fb
             t0 = time.time()
             state, metrics = step_fn(state, fb, frozen)
+            epoch_losses.append(metrics["loss_G"])
             total_iters += opt.batch_size
             if total_iters % opt.print_freq < opt.batch_size:
                 metrics = jax.device_get(metrics)
@@ -165,6 +188,8 @@ def main():
                      "img_S_warp": out["img_S_warp"]}, epoch)
             t_data_mark = time.time()
 
+        if plateau is not None and epoch_losses:
+            plateau.update(float(np.mean(jax.device_get(epoch_losses))))
         print(f"End of epoch {epoch} / {opt.niter + opt.niter_decay}\t"
               f"Time: {time.time() - epoch_start:.0f}s\tlr_G: {lr_g:.2e}")
         host_state = jax.device_get(state)

@@ -29,10 +29,16 @@ from ffwm_tpu.engine import (
     save_tree,
     set_lr,
 )
-from ffwm_tpu.engine.schedule import get_lr
+from ffwm_tpu.engine.schedule import PlateauTracker, get_lr
 from ffwm_tpu.models import VGG19Features
 from ffwm_tpu.options import print_and_save, train_parser
-from ffwm_tpu.parallel import make_mesh, pad_to_multiple, replicate, shard_batch
+from ffwm_tpu.parallel import (
+    check_batch_divisible,
+    drop_remainder,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 from ffwm_tpu.utils import Visualizer
 
 
@@ -79,6 +85,7 @@ def main():
     mesh = make_mesh()
     n_dev = len(mesh.devices.flatten())
     print(f"mesh: {n_dev} device(s): {mesh}")
+    check_batch_divisible(opt.batch_size, n_dev)
 
     loader = create_dataset(opt.dataroot, datamode=opt.datamode, phase="train",
                             batch_size=opt.batch_size, load_size=opt.load_size,
@@ -105,27 +112,41 @@ def main():
 
     vis = Visualizer(opt.name, opt.checkpoints_dir, phase="train",
                      tensorboard=opt.display_id > 0)
+    # 'plateau' needs a per-epoch metric (reference feeds self.metric,
+    # base_model.py:148-149); we feed the epoch-mean training loss.
+    plateau = (PlateauTracker(opt.lr, factor=0.2, patience=5, threshold=1e-2)
+               if opt.lr_policy == "plateau" else None)
     total_iters = 0
     for epoch in range(opt.epoch_count, opt.niter + opt.niter_decay + 1):
         epoch_start = time.time()
-        lr = get_lr(opt.lr_policy, opt.lr, epoch - opt.epoch_count,
-                    decay_epochs=opt.lr_decay_iters,
-                    niter=opt.niter, niter_decay=opt.niter_decay)
+        if plateau is not None:
+            lr = plateau.lr
+        else:
+            lr = get_lr(opt.lr_policy, opt.lr, epoch - opt.epoch_count,
+                        decay_epochs=opt.lr_decay_iters,
+                        niter=opt.niter, niter_decay=opt.niter_decay)
         state = state.replace(opt_state=set_lr(state.opt_state, lr))
         t_data_mark = time.time()
+        epoch_losses = []  # device scalars; fetched once at epoch end
         for batch in loader:
             t_data = time.time() - t_data_mark
             ab = adapt_batch(batch, getattr(opt, "reverse", False))
-            ab, _ = pad_to_multiple(ab, n_dev)
+            ab = drop_remainder(ab, n_dev)
+            if ab is None:
+                t_data_mark = time.time()
+                continue
             ab = shard_batch(ab, mesh)
             t0 = time.time()
             state, metrics = step_fn(state, ab, vgg_vars)
+            epoch_losses.append(metrics["loss"])
             total_iters += opt.batch_size
             if total_iters % opt.print_freq < opt.batch_size:
                 metrics = jax.device_get(metrics)
                 vis.print_current_losses(epoch, total_iters, metrics,
                                          time.time() - t0, t_data)
             t_data_mark = time.time()
+        if plateau is not None and epoch_losses:
+            plateau.update(float(np.mean(jax.device_get(epoch_losses))))
 
         print(f"End of epoch {epoch} / {opt.niter + opt.niter_decay}\t"
               f"Time: {time.time() - epoch_start:.0f}s\tlr: {lr:.2e}")

@@ -29,6 +29,7 @@ from ffwm_tpu.engine.checkpoint import exists, restore_tree
 from ffwm_tpu.losses.identity import _center_crop
 from ffwm_tpu.models import grayscale
 from ffwm_tpu.options import print_and_save, test_parser
+from ffwm_tpu.parallel import make_mesh, pad_to_multiple, replicate, shard_batch
 from ffwm_tpu.utils import Rank1Meter, Visualizer
 from ffwm_tpu.utils.convert import load_pth
 
@@ -83,6 +84,18 @@ def main():
               "meaningless (random identity features)")
         lc_vars = lc_init
 
+    # Shard eval over the data mesh like the trainers: variables replicated,
+    # batches split on the leading axis (padded to a device multiple; padded
+    # rows are sliced off before the metric/visuals see them). On one chip
+    # this is the identity sharding — the single-device path is unchanged.
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.flatten())
+    if n_dev > 1:
+        print(f"eval mesh: {n_dev} devices")
+    flow_vars = replicate(flow_vars, mesh)
+    gen_vars = replicate(gen_vars, mesh)
+    lc_vars = replicate(lc_vars, mesh)
+
     infer = make_ffwm_inference(
         models, dtype=jnp.bfloat16 if opt.bf16 else jnp.float32)
 
@@ -111,17 +124,22 @@ def main():
         visual_list = set(np.load(vlist_path)) if os.path.exists(vlist_path) else set()
 
         gallery_keys = list(ds.gallery_dict.keys())
-        gallery = jnp.asarray(np.stack([ds.gallery_dict[k] for k in gallery_keys]))
-        gallery_feas = np.asarray(gallery_feature(lc_vars, gallery))
+        gallery = np.stack([ds.gallery_dict[k] for k in gallery_keys])
+        gpad, n_gal = pad_to_multiple({"g": gallery}, n_dev)
+        gallery_feas = np.asarray(gallery_feature(
+            lc_vars, shard_batch(gpad, mesh)["g"]))[:n_gal]
 
         metric = Rank1Meter()
         n_done, t0 = 0, time.time()
         for batch in loader:
             files = batch["input_path"]
-            bsz = batch["img_S"].shape[0]
-            out = infer(flow_vars, gen_vars,
-                        jnp.asarray(batch["img_S"]), jnp.asarray(batch["img_F"]))
-            feas = np.asarray(identity_feature(lc_vars, out["fake_F128"]))
+            imgs = {"img_S": batch["img_S"], "img_F": batch["img_F"]}
+            imgs, bsz = pad_to_multiple(imgs, n_dev)
+            imgs = shard_batch(imgs, mesh)
+            out = infer(flow_vars, gen_vars, imgs["img_S"], imgs["img_F"])
+            # identity features on the still-padded (sharded) fakes; padded
+            # rows are dropped on the host before the metric sees them
+            feas = np.asarray(identity_feature(lc_vars, out["fake_F128"]))[:bsz]
             metric.update(feas, files, gallery_feas, gallery_keys)
             n_done += bsz
             for idx, name in enumerate(files):
@@ -138,8 +156,10 @@ def main():
     else:  # lfw etc: dump images
         for batch in loader:
             files = batch["input_path"]
-            out = infer(flow_vars, gen_vars,
-                        jnp.asarray(batch["img_S"]), jnp.asarray(batch["img_F"]))
+            imgs = {"img_S": batch["img_S"], "img_F": batch["img_F"]}
+            imgs, _ = pad_to_multiple(imgs, n_dev)
+            imgs = shard_batch(imgs, mesh)
+            out = infer(flow_vars, gen_vars, imgs["img_S"], imgs["img_F"])
             for idx, name in enumerate(files):
                 prefix = os.path.splitext(name)[0]
                 vis.display_test_results(

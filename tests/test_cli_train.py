@@ -16,7 +16,10 @@ from ffwm_tpu.data.synthetic import make_synthetic_multipie
 @pytest.fixture(scope="module")
 def dataroot(tmp_path_factory):
     root = tmp_path_factory.mktemp("traindata")
-    make_synthetic_multipie(str(root), n_ids=2, cameras=("051", "050"), size=64)
+    # enough profiles for one full batch of 8 on the 8-device test mesh
+    # (batch_size must be a multiple of the mesh: check_batch_divisible)
+    make_synthetic_multipie(str(root), n_ids=4, cameras=("051", "050", "090"),
+                            size=64)
     return str(root)
 
 
@@ -26,9 +29,9 @@ def test_train_flow_cli(dataroot, tmp_path, monkeypatch):
     ckpt = str(tmp_path / "ckpt")
     monkeypatch.setattr(sys, "argv", [
         "train_flow.py", "--dataroot", dataroot, "--name", "flowsmoke",
-        "--checkpoints_dir", ckpt, "--batch_size", "2", "--load_size", "64",
+        "--checkpoints_dir", ckpt, "--batch_size", "8", "--load_size", "64",
         "--niter", "1", "--niter_decay", "0", "--save_epoch_freq", "1",
-        "--print_freq", "2", "--max_dataset_size", "4", "--aug",
+        "--print_freq", "8", "--max_dataset_size", "8", "--aug",
     ])
     train_flow.main()
     base = os.path.join(ckpt, "flowsmoke")
@@ -40,8 +43,8 @@ def test_train_flow_cli(dataroot, tmp_path, monkeypatch):
     # resume path: --continue_train restores the saved state
     monkeypatch.setattr(sys, "argv", [
         "train_flow.py", "--dataroot", dataroot, "--name", "flowsmoke",
-        "--checkpoints_dir", ckpt, "--batch_size", "2", "--load_size", "64",
-        "--niter", "1", "--niter_decay", "0", "--max_dataset_size", "4",
+        "--checkpoints_dir", ckpt, "--batch_size", "8", "--load_size", "64",
+        "--niter", "1", "--niter_decay", "0", "--max_dataset_size", "8",
         "--continue_train", "--epoch", "latest",
     ])
     train_flow.main()

@@ -175,14 +175,32 @@ def _image_adjoint_matmul(g: jax.Array, grid: jax.Array, h: int, w: int,
     return dimg.astype(g.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _grid_sample_patch_diff(image: jax.Array, grid: jax.Array,
-                            align_corners: bool) -> jax.Array:
+@functools.cache
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _patch_forward(image: jax.Array, grid: jax.Array,
+                   align_corners: bool) -> jax.Array:
+    """Forward dispatch: compiled Mosaic kernel on TPU for full-raster
+    warps (the WAM/image warps, where it is ~2x the XLA gather — measured
+    0.28 vs 0.58 ms/img at 128^2 x 64ch on v5e), XLA patch gather
+    otherwise (landmark part crops, CPU tests)."""
+    if _on_tpu() and grid.shape[1] * grid.shape[2] == image.shape[1] * image.shape[2]:
+        from ffwm_tpu.ops.kernels.warp_vmem_pallas import _forward as _vmem_fwd
+
+        return _vmem_fwd(image, grid, align_corners)
     return _grid_sample_patch(image, grid, align_corners)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _grid_sample_patch_diff(image: jax.Array, grid: jax.Array,
+                            align_corners: bool) -> jax.Array:
+    return _patch_forward(image, grid, align_corners)
+
+
 def _gsp_fwd(image, grid, align_corners):
-    return _grid_sample_patch(image, grid, align_corners), (image, grid)
+    return _patch_forward(image, grid, align_corners), (image, grid)
 
 
 def _gsp_bwd(align_corners, res, g):

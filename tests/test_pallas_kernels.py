@@ -53,6 +53,38 @@ def test_warp_pallas_grads_match(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_warp_vmem_forward_and_padding(rng):
+    """The PRODUCTION compiled-Mosaic warp (ships on TPU via
+    ops.warp._patch_forward): full-raster geometry, channel padding to the
+    128-lane boundary, and the CLIP-shifted zeros-padding weights."""
+    from ffwm_tpu.ops.kernels.warp_vmem_pallas import _forward, grid_sample_vmem
+
+    img = jnp.asarray(rng.rand(2, 16, 16, 5), jnp.float32)  # c=5 -> pad 128
+    grid = jnp.asarray(rng.rand(2, 16, 16, 2) * 3 - 1.5, jnp.float32)
+    out = _forward(img, grid, False, interpret=True)
+    ref = grid_sample(img, grid, impl="taps")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    # gradients: grid_sample_vmem's custom VJP delegates verbatim to the
+    # XLA formulation (jax.vjp of ops.warp.grid_sample), which
+    # test_ops_warp.py pins against the torch oracle — nothing kernel-
+    # specific to test beyond the forward above.
+    del grid_sample_vmem
+
+
+def test_warp_vmem_bf16_upcast_path(rng):
+    from ffwm_tpu.ops.kernels.warp_vmem_pallas import _forward
+
+    img = jnp.asarray(rng.rand(1, 8, 8, 4), jnp.bfloat16)
+    grid = jnp.asarray(rng.rand(1, 8, 8, 2) * 2 - 1, jnp.bfloat16)
+    out = _forward(img, grid, False, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    # coords/weights computed in fp32 inside the kernel path; compare
+    # against the fp32 reference with bf16 tolerance
+    ref = grid_sample(img.astype(jnp.float32), grid.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=2e-2)
+
+
 @pytest.mark.parametrize("k,sigma", [(2, 5.0), (4, 2.0)])
 def test_resample2d_pallas_forward(rng, k, sigma):
     img = jnp.asarray(rng.rand(2, 9, 11, 4), jnp.float32)

@@ -1,22 +1,30 @@
 """Pallas TPU kernels for the hot warping ops.
 
-Forward passes are fused Pallas kernels (per-batch-item source image
-resident in VMEM, vectorized dynamic row gather, bilinear/Gaussian weighting
-and reduction in registers). Backward passes are registered as custom VJPs
-that reuse the verified XLA gather formulations (whose transposes are
-deterministic segment-sum scatters — the TPU-native equivalent of the
-reference CUDA kernels' atomicAdd backward, cuda/*/..._kernel.cu).
+Production status (measured on v5e, tools/pallas_tpu_probe.py):
 
-Status: numerics (fwd + vjp) are pinned by tests in interpret mode. The
-compiled Mosaic path is blocked on a current Mosaic limitation —
-``tpu.dynamic_gather`` only addresses within a single vreg (8 sublanes /
-128 lanes), so a global image gather ("Multiple source vregs along gather
-dimension") does not lower yet. The production warp therefore uses the
-single-2x2-patch ``lax.gather`` formulation in ffwm_tpu.ops.warp (measured
-1.4x the naive 4-tap gather on v5e); these kernels become the fast path
-when Mosaic grows cross-vreg gather support.
+* ``warp_vmem_pallas.grid_sample_vmem`` — **compiled Mosaic kernel, shipped**:
+  the TPU forward for every full-raster warp via ``ffwm_tpu.ops.warp``
+  (WAM feature warps, image warps). HBM -> VMEM DMA of the source once per
+  batch item + a hardware loop of scalar-addressed 2-row patch copies.
+  2.1x XLA's gather at 128^2 x 64ch (0.277 vs 0.582 ms/img fp32), exact
+  fp32 parity (1.2e-7). Backward = custom VJP onto the verified XLA
+  formulations (deterministic matmul image-adjoint — the TPU-native
+  equivalent of the reference CUDA kernels' atomicAdd scatters,
+  cuda/*/..._kernel.cu).
+
+* ``warp_pallas`` / ``resample2d_pallas`` / ``block_extractor_pallas`` —
+  vectorized-gather formulations, **interpret-mode only**: their
+  whole-image ``tpu.dynamic_gather`` cannot lower ("Multiple source vregs
+  along gather dimension" — Mosaic's gather addresses within a single
+  vreg). Kept as numerics oracles (tests pin fwd+vjp in interpret mode)
+  and as the fast path if Mosaic grows cross-vreg gather support; the
+  production paths for these ops are the XLA formulations in
+  ``ffwm_tpu.ops`` (resample2d is off FFWM's default path entirely —
+  reference losses.py:332 defaults to bilinear sampling — and the affine
+  regularizer uses a static-slice rewrite instead of block_extractor).
 """
 
 from ffwm_tpu.ops.kernels.warp_pallas import grid_sample_pallas
+from ffwm_tpu.ops.kernels.warp_vmem_pallas import grid_sample_vmem
 
-__all__ = ["grid_sample_pallas"]
+__all__ = ["grid_sample_pallas", "grid_sample_vmem"]

@@ -48,6 +48,33 @@ def chained(one_step, carry0, *rest):
     return run
 
 
+def probe_warp_vmem(report):
+    """The shipped compiled kernel (ops.warp routes to it on TPU)."""
+    from ffwm_tpu.ops.kernels.warp_vmem_pallas import grid_sample_vmem
+    from ffwm_tpu.ops.warp import _grid_sample_patch
+
+    r = np.random.RandomState(0)
+    for szh, c in ((128, 64), (64, 64), (32, 128)):
+        img = jnp.asarray(r.rand(BATCH, szh, szh, c), jnp.float32)
+        grid = jnp.asarray(r.rand(BATCH, szh, szh, 2) * 2.2 - 1.1, jnp.float32)
+        rec = {"kernel": f"warp_vmem_{szh}x{szh}x{c}", "compiles": False}
+        try:
+            out_p = jax.jit(lambda i, g: grid_sample_vmem(i, g, False))(img, grid)
+            out_x = _grid_sample_patch(img, grid, False)
+            rec["compiles"] = True
+            rec["max_err"] = float(jnp.abs(out_p - out_x).max())
+            step_p = chained(lambda ci, g: grid_sample_vmem(ci, g, False),
+                             img, grid)
+            step_x = chained(lambda ci, g: _grid_sample_patch(ci, g, False),
+                             img, grid)
+            rec["pallas_ms_img"] = round(timeit(step_p, img, grid), 4)
+            rec["xla_ms_img"] = round(timeit(step_x, img, grid), 4)
+        except Exception as e:
+            rec["error"] = f"{type(e).__name__}: {str(e)[:500]}"
+            traceback.print_exc(limit=3, file=sys.stderr)
+        report(rec)
+
+
 def probe_warp(report):
     from ffwm_tpu.ops.kernels.warp_pallas import grid_sample_pallas
     from ffwm_tpu.ops.warp import grid_sample
@@ -143,6 +170,7 @@ def main():
     def report(rec):
         out.append(rec)
         print(json.dumps(rec), flush=True)
+    probe_warp_vmem(report)
     probe_warp(report)
     probe_resample2d(report)
     probe_block_extractor(report)

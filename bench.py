@@ -24,10 +24,17 @@ import json
 import sys
 import time
 
+import os
+
 import jax
 
-# persistent compile cache: driver re-runs skip the (slow) first compile
-jax.config.update("jax_compilation_cache_dir", "/tmp/ffwm_tpu_jax_cache")
+# persistent compile cache, in-repo so it survives across driver rounds:
+# the chained-scan program costs ~10 min to compile via the tunneled
+# remote-compile service; a committed cache makes the driver's cold bench
+# run execute-only.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp
 import numpy as np

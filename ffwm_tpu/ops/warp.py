@@ -183,10 +183,13 @@ def _on_tpu() -> bool:
 def _patch_forward(image: jax.Array, grid: jax.Array,
                    align_corners: bool) -> jax.Array:
     """Forward dispatch: compiled Mosaic kernel on TPU for full-raster
-    warps (the WAM/image warps, where it is ~2x the XLA gather — measured
-    0.28 vs 0.58 ms/img at 128^2 x 64ch on v5e), XLA patch gather
-    otherwise (landmark part crops, CPU tests)."""
-    if _on_tpu() and grid.shape[1] * grid.shape[2] == image.shape[1] * image.shape[2]:
+    warps up to 128 channels (the WAM/image warps, where it is ~2x the
+    XLA gather — measured 0.28 vs 0.58 ms/img at 128^2 x 64ch on v5e),
+    XLA patch gather otherwise (landmark part crops, C>128 VGG-feature
+    warps — a [H*W, C>128] row spans multiple lane-tiles and Mosaic
+    cannot prove the dynamic 2-row slice 8-aligned — and CPU tests)."""
+    if (_on_tpu() and image.shape[3] <= 128
+            and grid.shape[1] * grid.shape[2] == image.shape[1] * image.shape[2]):
         from ffwm_tpu.ops.kernels.warp_vmem_pallas import _forward as _vmem_fwd
 
         return _vmem_fwd(image, grid, align_corners)

@@ -36,7 +36,7 @@ from ffwm_tpu.losses import gan_loss, identity_loss, illumination_loss, perceptu
 from ffwm_tpu.models import FFWM, FlowNet, LightCNN29, MSDiscriminator, VGG19Features
 from ffwm_tpu.ops.filters import guided_filter
 from ffwm_tpu.ops.resize import resize_bilinear, resize_nearest
-from ffwm_tpu.ops.warp import build_patch_grid, warp
+from ffwm_tpu.ops.warp import build_patch_grid, disable_mosaic_warp, warp
 
 WARMUP_IMAGES = 20000
 
@@ -320,7 +320,16 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
         metrics["loss_D"] = loss_d
         return new_state, metrics
 
-    return train_step
+    def step(state, batch, frozen):
+        # XLA warp forward in training: the no-grad D-pass forward and the
+        # G-pass gradient recomputation CSE into one program only when both
+        # use the same gather formulation, and the Mosaic window dumps
+        # break fusion in the differentiated program (96 -> 106 ms/step
+        # measured). Trace-time flag, see ops.warp._MOSAIC_WARP.
+        with disable_mosaic_warp():
+            return train_step(state, batch, frozen)
+
+    return step
 
 
 def make_ffwm_inference(models: FFWMModels, return_att: bool = True,

@@ -28,7 +28,7 @@ from ffwm_tpu.losses import (
     multiscale_landmark_loss,
 )
 from ffwm_tpu.models import FlowNet, VGG19Features
-from ffwm_tpu.ops.warp import warp
+from ffwm_tpu.ops.warp import disable_mosaic_warp, warp
 
 
 @flax.struct.dataclass
@@ -98,7 +98,14 @@ def make_flow_train_step(
         )
         return new_state, metrics
 
-    return train_step
+    def step(state, batch, vgg_vars):
+        # XLA warp forward in training: the Mosaic kernel's window dumps
+        # break fusion inside the differentiated program (39 -> 73 ms/step
+        # measured); the flag is trace-time, see ops.warp._MOSAIC_WARP.
+        with disable_mosaic_warp():
+            return train_step(state, batch, vgg_vars)
+
+    return step
 
 
 def make_flow_eval_step(model: FlowNet):

@@ -40,15 +40,17 @@ from ffwm_tpu.ops.warp import (
 
 
 def _kernel(lin_ref, img_ref, out_ref, img_vmem, copy_sem, *, n_blk: int,
-            w_row: int):
-    """lin_ref: [1, N_blk] int32 (SMEM) clamped patch starts (linear,
-    row-major); img_ref: [B, H*W, C] (HBM, unblocked); out_ref: [N_blk*4, C]
-    (VMEM) — rows 4p..4p+3 hold the taps (y0,x0), (y0,x1), (y1,x0), (y1,x1)
-    of block-local output pixel p; img_vmem: [H*W, C] scratch holding the
-    source for the whole batch item (scratch persists across the sequential
-    pixel-block grid steps, so the copy runs once per batch item — keeping
-    the source OUT of the block pipeline also keeps it single-buffered,
-    which is what makes a 4 MB source fit the 16 MB scoped-VMEM budget)."""
+            w_row: int, taps_y: int, row_len: int):
+    """lin_ref: [1, N_blk] int32 (SMEM) clamped window starts (linear,
+    row-major); img_ref: [B, H*W, C] (HBM, unblocked); out_ref:
+    [N_blk*taps_y*row_len, C] (VMEM) — the taps_y x row_len source window of
+    block-local output pixel p, row-major; img_vmem: [H*W, C] scratch
+    holding the source for the whole batch item (scratch persists across the
+    sequential pixel-block grid steps, so the copy runs once per batch item —
+    keeping the source OUT of the block pipeline also keeps it
+    single-buffered, which is what makes a 4 MB source fit the 16 MB
+    scoped-VMEM budget). taps_y=row_len=2 is the bilinear warp; 4x4 serves
+    resample2d's Gaussian kernel."""
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -57,31 +59,109 @@ def _kernel(lin_ref, img_ref, out_ref, img_vmem, copy_sem, *, n_blk: int,
         dma.start()
         dma.wait()
 
-    _copy_loop(lin_ref, img_vmem, out_ref, n_blk=n_blk, w_row=w_row)
+    _copy_loop(lin_ref, img_vmem, out_ref, n_blk=n_blk, w_row=w_row,
+               taps_y=taps_y, row_len=row_len)
 
 
-def _kernel_blocked(lin_ref, img_ref, out_ref, *, n_blk: int, w_row: int):
+def _kernel_blocked(lin_ref, img_ref, out_ref, *, n_blk: int, w_row: int,
+                    taps_y: int, row_len: int):
     """Interpret-mode variant: the source arrives as a pipelined VMEM block
     instead of scratch+DMA (``pl.program_id`` has no CPU interpret rule in
     this jax, so the DMA-once-per-batch-item guard can't run there). Same
     copy loop; only the TPU variant's VMEM budgeting differs."""
-    _copy_loop(lin_ref, img_ref, out_ref, n_blk=n_blk, w_row=w_row)
+    _copy_loop(lin_ref, img_ref, out_ref, n_blk=n_blk, w_row=w_row,
+               taps_y=taps_y, row_len=row_len)
 
 
-def _copy_loop(lin_ref, src_ref, out_ref, *, n_blk: int, w_row: int):
+def _copy_loop(lin_ref, src_ref, out_ref, *, n_blk: int, w_row: int,
+               taps_y: int, row_len: int):
     UNROLL = 8
+    rows = taps_y * row_len
 
     def body(i, _):
         # manual unroll: Mosaic's fori_loop supports only full or no unroll
         for j in range(UNROLL):
             p = i * UNROLL + j
             lin = lin_ref[0, p]
-            base = p * 4
-            out_ref[pl.ds(base, 2), :] = src_ref[pl.ds(lin, 2), :]
-            out_ref[pl.ds(base + 2, 2), :] = src_ref[pl.ds(lin + w_row, 2), :]
+            base = p * rows
+            for r in range(taps_y):
+                out_ref[pl.ds(base + r * row_len, row_len), :] = (
+                    src_ref[pl.ds(lin + r * w_row, row_len), :])
         return 0
 
     jax.lax.fori_loop(0, n_blk // UNROLL, body, 0)
+
+
+def _window_dump(img_flat, lin, *, w_row: int, taps_y: int, row_len: int,
+                 interpret: bool):
+    """Run the dump kernel: [B, H*W, Ck] source + [B, P] starts ->
+    [B, P, taps_y, row_len, Ck] windows. Ck must be lane-aligned (128)."""
+    b, hw, ck = img_flat.shape
+    n = lin.shape[1]
+    rows = taps_y * row_len
+    kdtype = img_flat.dtype
+
+    # tile the output pixels: the [N_blk*rows, Ck] window buffer must fit
+    # the ~16 MB scoped-VMEM budget alongside the single-buffered source.
+    # n_blk must be a multiple of 128 (the SMEM index block's lane dim must
+    # be 128-aligned or equal to the whole array) — which also covers the
+    # 8-wide loop unroll — and divide the (padded) pixel count: pad lin
+    # with start-0 windows and slice after.
+    budget_px = (1024 * 1024) // (rows * ck * jnp.dtype(kdtype).itemsize)
+    n_blk = max(128, min(budget_px // 128 * 128, (n + 127) // 128 * 128))
+    n_pad = (n + n_blk - 1) // n_blk * n_blk
+    if n_pad != n:
+        lin = jnp.concatenate(
+            [lin, jnp.zeros((b, n_pad - n), lin.dtype)], axis=1)
+    n_blocks = n_pad // n_blk
+
+    kw = dict(n_blk=n_blk, w_row=w_row, taps_y=taps_y, row_len=row_len)
+    if interpret:
+        out = pl.pallas_call(
+            functools.partial(_kernel_blocked, **kw),
+            grid=(b, n_blocks),
+            in_specs=[
+                pl.BlockSpec((None, 1, n_blk), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((None, hw, ck), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((None, n_blk * rows, ck),
+                                   lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, n_pad * rows, ck), kdtype),
+            interpret=True,
+        )(lin.reshape(b, 1, n_pad), img_flat)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_kernel, **kw),
+            grid=(b, n_blocks),
+            in_specs=[
+                pl.BlockSpec((None, 1, n_blk), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # [B, H*W, Ck] in HBM
+            ],
+            out_specs=pl.BlockSpec((None, n_blk * rows, ck),
+                                   lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, n_pad * rows, ck), kdtype),
+            scratch_shapes=[
+                pltpu.VMEM((hw, ck), kdtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(lin.reshape(b, 1, n_pad), img_flat)
+    return out.reshape(b, n_pad, taps_y, row_len, ck)[:, :n]
+
+
+def _pad_lanes(img_flat):
+    """Channel-pad to the 128-lane boundary (HBM per-item slices must be
+    lane-aligned; the loop is index-issue-bound so extra lanes are ~free)."""
+    b, hw, c = img_flat.shape
+    ck = ((c + 127) // 128) * 128
+    if ck != c:
+        img_flat = jnp.concatenate(
+            [img_flat, jnp.zeros((b, hw, ck - c), img_flat.dtype)], axis=-1)
+    return img_flat
 
 
 def _patch_starts(image, grid, align_corners):
@@ -115,60 +195,11 @@ def _forward(image, grid, align_corners, interpret: bool = False):
     # loop on an fp32 view (the kernel is index-issue-bound, not
     # bandwidth-bound, so the upcast costs ~nothing) and cast back after.
     kdtype = jnp.float32 if image.dtype.itemsize < 4 else image.dtype
-    img_flat = image.reshape(b, h * w, c).astype(kdtype)
-    # the per-batch-item HBM slice feeding the DMA must be lane-aligned
-    # (tpu.memref_slice: "slice shape along dimension 2 must be aligned to
-    # tiling (128)") — pad channels up; the DMA/loop are index-issue-bound,
-    # so the extra lanes are ~free
-    ck = ((c + 127) // 128) * 128
-    if ck != c:
-        img_flat = jnp.concatenate(
-            [img_flat, jnp.zeros((b, h * w, ck - c), kdtype)], axis=-1)
+    img_flat = _pad_lanes(image.reshape(b, h * w, c).astype(kdtype))
 
-    # tile the output pixels: the [N_blk*4, Ck] tap buffer must fit the
-    # ~16 MB scoped-VMEM budget alongside the single-buffered [H*W, Ck]
-    # scratch source
-    n_blk = n
-    while n_blk * 4 * ck * jnp.dtype(kdtype).itemsize > 1024 * 1024:
-        n_blk //= 2
-    n_blocks = n // n_blk
-
-    if interpret:
-        taps = pl.pallas_call(
-            functools.partial(_kernel_blocked, n_blk=n_blk, w_row=w),
-            grid=(b, n_blocks),
-            in_specs=[
-                pl.BlockSpec((None, 1, n_blk), lambda i, j: (i, 0, j),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((None, h * w, ck), lambda i, j: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((None, n_blk * 4, ck),
-                                   lambda i, j: (i, j, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b, n * 4, ck), kdtype),
-            interpret=True,
-        )(lin.reshape(b, 1, n), img_flat)
-    else:
-        taps = pl.pallas_call(
-            functools.partial(_kernel, n_blk=n_blk, w_row=w),
-            grid=(b, n_blocks),
-            in_specs=[
-                pl.BlockSpec((None, 1, n_blk), lambda i, j: (i, 0, j),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # [B, H*W, Ck] in HBM
-            ],
-            out_specs=pl.BlockSpec((None, n_blk * 4, ck),
-                                   lambda i, j: (i, j, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b, n * 4, ck), kdtype),
-            scratch_shapes=[
-                pltpu.VMEM((h * w, ck), kdtype),
-                pltpu.SemaphoreType.DMA,
-            ],
-        )(lin.reshape(b, 1, n), img_flat)
-
-    taps = taps[..., :c].reshape(b, n, 4, c)
+    win = _window_dump(img_flat, lin, w_row=w, taps_y=2, row_len=2,
+                       interpret=interpret)  # [B, P, 2, 2, Ck]
+    taps = win[..., :c].reshape(b, n, 4, c)
     out = jnp.sum(taps * wts[..., None].astype(kdtype), axis=2)
     return out.reshape(b, hg, wg, c).astype(image.dtype)
 
@@ -194,3 +225,178 @@ def _bwd(align_corners, res, g):
 
 
 grid_sample_vmem.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# resample2d on the same window-dump machinery: with the live configuration
+# (kernel_size=4, dilation=1 — reference models/losses.py:329) the
+# (kernel/2)^2 groups of 4 taps form one contiguous 4x4 window at
+# (y0-1, x0-1). Border clamping (cuda resample2d_kernel.cu:20-95 clamps tap
+# indices, weights use unclamped distances) folds into per-axis one-hot
+# "cell" weights over the clamped window, exactly like the warp's
+# CLIP-shift: cell_x[v] = sum_j [clip(t_j) - sx == v] * w_j.
+# ---------------------------------------------------------------------------
+
+_R2D_EPS = 1e-8
+
+
+def _r2d_axis_cells(t0, frac, size, inv2s2, dt):
+    """Tap positions t0 + {-1, 0, 1, 2} with Gaussian weights -> window
+    start (clamped) + per-cell folded weights [B, P, 4] + weight sum."""
+    start = jnp.clip(t0 - 1, 0, size - 4)
+    cells = jnp.zeros(frac.shape + (4,), dt)
+    total = jnp.zeros(frac.shape, dt)
+    for off, dist in ((-1, 1.0 + frac), (0, frac),
+                      (1, 1.0 - frac), (2, 2.0 - frac)):
+        wgt = jnp.exp(-(dist * dist) * inv2s2).astype(dt)
+        local = jnp.clip(t0 + off, 0, size - 1) - start
+        cells = cells + (local[..., None]
+                         == jnp.arange(4, dtype=jnp.int32)).astype(dt) * wgt[..., None]
+        total = total + wgt
+    return start, cells, total
+
+
+def _r2d_forward(image, flow, sigma, interpret: bool = False):
+    b, h, w, c = image.shape
+    _, hf, wf, _ = flow.shape
+    n = hf * wf
+    kdtype = jnp.float32 if image.dtype.itemsize < 4 else image.dtype
+
+    sig = jnp.broadcast_to(jnp.asarray(sigma, kdtype), (b, hf, wf)).reshape(b, n)
+    dx = flow[..., 0].reshape(b, n).astype(kdtype)
+    dy = flow[..., 1].reshape(b, n).astype(kdtype)
+    xg = jax.lax.broadcasted_iota(jnp.float32, (hf, wf), 1).reshape(-1)
+    yg = jax.lax.broadcasted_iota(jnp.float32, (hf, wf), 0).reshape(-1)
+    xf = xg[None] + dx
+    yf = yg[None] + dy
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    inv2s2 = 1.0 / (2.0 * sig * sig + _R2D_EPS * (sig == 0))
+
+    sx, cx, tx = _r2d_axis_cells(x0.astype(jnp.int32), (xf - x0).astype(kdtype),
+                                 w, inv2s2, kdtype)
+    sy, cy, ty = _r2d_axis_cells(y0.astype(jnp.int32), (yf - y0).astype(kdtype),
+                                 h, inv2s2, kdtype)
+    lin = sy * w + sx
+    wsum = tx * ty
+
+    img_flat = _pad_lanes(image.reshape(b, h * w, c).astype(kdtype))
+    win = _window_dump(img_flat, lin, w_row=w, taps_y=4, row_len=4,
+                       interpret=interpret)[..., :c]  # [B, P, 4, 4, C]
+    # tiny contraction dims (4x4) — keep it off the bf16 MXU path
+    val = jnp.einsum("bpu,bpv,bpuvc->bpc", cy, cx, win,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = val / jnp.where(wsum == 0, _R2D_EPS, wsum)[..., None]
+    return out.reshape(b, hf, wf, c).astype(image.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def resample2d_vmem(image: jax.Array, flow: jax.Array, sigma=2.0,
+                    kernel_size: int = 4, dilation: int = 1) -> jax.Array:
+    """Compiled-Mosaic Gaussian resampling (reference resample2d semantics).
+
+    Only the live configuration (kernel_size=4, dilation=1) runs the
+    kernel; other configurations fall back to the XLA formulation."""
+    from ffwm_tpu.ops.resample2d import resample2d as _r2d_xla
+
+    if kernel_size != 4 or dilation != 1:
+        return _r2d_xla(image, flow, sigma, kernel_size=kernel_size,
+                        dilation=dilation)
+    return _r2d_forward(image, flow, sigma)
+
+
+def _r2d_fwd(image, flow, sigma, kernel_size, dilation):
+    return (resample2d_vmem(image, flow, sigma, kernel_size, dilation),
+            (image, flow, sigma))
+
+
+def _r2d_bwd(kernel_size, dilation, res, g):
+    from ffwm_tpu.ops.resample2d import resample2d as _r2d_xla
+
+    image, flow, sigma = res
+    _, vjp = jax.vjp(
+        lambda i, f, s: _r2d_xla(i, f, s, kernel_size=kernel_size,
+                                 dilation=dilation), image, flow, sigma)
+    return vjp(g)
+
+
+resample2d_vmem.defvjp(_r2d_fwd, _r2d_bwd)
+
+
+# ---------------------------------------------------------------------------
+# block_extractor on the same machinery: the k x k bilinear samples of a
+# flow pixel share one fractional offset, so their taps live in a single
+# (k+2) x (k+2) window at (y0 - k//2, x0 - k//2); border clamping folds
+# into per-output-sample one-hot cell weights, per axis.
+# ---------------------------------------------------------------------------
+
+
+def _be_axis_cells(t0, frac, size, k, dt):
+    """Per output sample j in [0,k): bilinear taps at t0 + j - k//2 (+0/+1)
+    with weights (1-frac, frac) -> window start (clamped, width k+2) +
+    folded per-cell weights [B, P, k, k+2]."""
+    win = k + 2
+    start = jnp.clip(t0 - k // 2, 0, size - win)
+    idx = jnp.arange(win, dtype=jnp.int32)
+    cells = []
+    for j in range(k):
+        base = t0 + j - k // 2
+        c = jnp.zeros(frac.shape + (win,), dt)
+        for off, wgt in ((0, 1.0 - frac), (1, frac)):
+            local = jnp.clip(base + off, 0, size - 1) - start
+            c = c + (local[..., None] == idx).astype(dt) * wgt[..., None]
+        cells.append(c)
+    return start, jnp.stack(cells, axis=-2)  # [B, P, k, k+2]
+
+
+def _be_forward(source, flow, k, interpret: bool = False):
+    b, h, w, c = source.shape
+    _, hf, wf, _ = flow.shape
+    n = hf * wf
+    win = k + 2
+    kdtype = jnp.float32 if source.dtype.itemsize < 4 else source.dtype
+
+    xf = jax.lax.broadcasted_iota(jnp.float32, (hf, wf), 1).reshape(-1)
+    yf = jax.lax.broadcasted_iota(jnp.float32, (hf, wf), 0).reshape(-1)
+    cx = flow[..., 0].reshape(b, n).astype(kdtype) + xf[None]
+    cy = flow[..., 1].reshape(b, n).astype(kdtype) + yf[None]
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+
+    sx, cellx = _be_axis_cells(x0.astype(jnp.int32), (cx - x0).astype(kdtype),
+                               w, k, kdtype)
+    sy, celly = _be_axis_cells(y0.astype(jnp.int32), (cy - y0).astype(kdtype),
+                               h, k, kdtype)
+    lin = sy * w + sx
+
+    img_flat = _pad_lanes(source.reshape(b, h * w, c).astype(kdtype))
+    wdump = _window_dump(img_flat, lin, w_row=w, taps_y=win, row_len=win,
+                         interpret=interpret)[..., :c]  # [B, P, win, win, C]
+    # tiny contraction dims ((k+2)^2) — keep it off the bf16 MXU path
+    out = jnp.einsum("bpiu,bpjv,bpuvc->bpijc", celly, cellx, wdump,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = out.reshape(b, hf, wf, k, k, c).transpose(0, 1, 3, 2, 4, 5)
+    return out.reshape(b, hf * k, wf * k, c).astype(source.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def block_extractor_vmem(source: jax.Array, flow: jax.Array,
+                         kernel_size: int = 3) -> jax.Array:
+    """Compiled-Mosaic flow-addressed k x k block extraction (reference
+    block_extractor semantics: border-clamped bilinear taps)."""
+    return _be_forward(source, flow, kernel_size)
+
+
+def _be_fwd(source, flow, kernel_size):
+    return block_extractor_vmem(source, flow, kernel_size), (source, flow)
+
+
+def _be_bwd(kernel_size, res, g):
+    from ffwm_tpu.ops.block_extractor import block_extractor as _be_xla
+
+    source, flow = res
+    _, vjp = jax.vjp(lambda s, f: _be_xla(s, f, kernel_size), source, flow)
+    return vjp(g)
+
+
+block_extractor_vmem.defvjp(_be_fwd, _be_bwd)

@@ -180,15 +180,39 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _patch_forward(image: jax.Array, grid: jax.Array,
-                   align_corners: bool) -> jax.Array:
+# Trace-time switch for the compiled Mosaic warp forward. Inference wants
+# it (2x the XLA gather); the TRAIN steps do not: the GAN step's no-grad
+# D-pass forward and its G-pass gradient recomputation CSE into one XLA
+# program only when both use the same gather formulation, and the window
+# dumps break producer/consumer fusion inside the big differentiated
+# programs (measured: flow step 39 -> 73 ms, GAN step 96 -> 106 ms with
+# the kernel inside training). Train-step factories trace under
+# disable_mosaic_warp(); the choice is a static part of the jit cache key.
+_MOSAIC_WARP = [True]
+
+
+class disable_mosaic_warp:
+    """Context manager: trace enclosed jits with the XLA warp forward."""
+
+    def __enter__(self):
+        self._prev = _MOSAIC_WARP[0]
+        _MOSAIC_WARP[0] = False
+
+    def __exit__(self, *exc):
+        _MOSAIC_WARP[0] = self._prev
+        return False
+
+
+def _patch_forward(image: jax.Array, grid: jax.Array, align_corners: bool,
+                   use_mosaic: bool) -> jax.Array:
     """Forward dispatch: compiled Mosaic kernel on TPU for full-raster
     warps up to 128 channels (the WAM/image warps, where it is ~2x the
     XLA gather — measured 0.28 vs 0.58 ms/img at 128^2 x 64ch on v5e),
     XLA patch gather otherwise (landmark part crops, C>128 VGG-feature
     warps — a [H*W, C>128] row spans multiple lane-tiles and Mosaic
-    cannot prove the dynamic 2-row slice 8-aligned — and CPU tests)."""
-    if (_on_tpu() and image.shape[3] <= 128
+    cannot prove the dynamic 2-row slice 8-aligned — CPU tests, and
+    training, see _MOSAIC_WARP)."""
+    if (use_mosaic and image.shape[3] <= 128
             and grid.shape[1] * grid.shape[2] == image.shape[1] * image.shape[2]):
         from ffwm_tpu.ops.kernels.warp_vmem_pallas import _forward as _vmem_fwd
 
@@ -196,17 +220,17 @@ def _patch_forward(image: jax.Array, grid: jax.Array,
     return _grid_sample_patch(image, grid, align_corners)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _grid_sample_patch_diff(image: jax.Array, grid: jax.Array,
-                            align_corners: bool) -> jax.Array:
-    return _patch_forward(image, grid, align_corners)
+                            align_corners: bool, use_mosaic: bool) -> jax.Array:
+    return _patch_forward(image, grid, align_corners, use_mosaic)
 
 
-def _gsp_fwd(image, grid, align_corners):
-    return _patch_forward(image, grid, align_corners), (image, grid)
+def _gsp_fwd(image, grid, align_corners, use_mosaic):
+    return _patch_forward(image, grid, align_corners, use_mosaic), (image, grid)
 
 
-def _gsp_bwd(align_corners, res, g):
+def _gsp_bwd(align_corners, use_mosaic, res, g):
     image, grid = res
     h, w = image.shape[1:3]
     d_image = _image_adjoint_matmul(g, grid, h, w, align_corners)
@@ -221,13 +245,30 @@ def _gsp_bwd(align_corners, res, g):
 _grid_sample_patch_diff.defvjp(_gsp_fwd, _gsp_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "align_corners", "impl"))
 def grid_sample(
     image: jax.Array,
     grid: jax.Array,
     mode: str = "bilinear",
     align_corners: bool = False,
     impl: str = "patch",
+) -> jax.Array:
+    """See _grid_sample_core; resolves the trace-time Mosaic-warp switch
+    into a static argument so it participates in the jit cache key."""
+    use_mosaic = _MOSAIC_WARP[0] and _on_tpu()
+    return _grid_sample_core(image, grid, mode=mode,
+                             align_corners=align_corners, impl=impl,
+                             use_mosaic=use_mosaic)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "align_corners", "impl",
+                                             "use_mosaic"))
+def _grid_sample_core(
+    image: jax.Array,
+    grid: jax.Array,
+    mode: str = "bilinear",
+    align_corners: bool = False,
+    impl: str = "patch",
+    use_mosaic: bool = False,
 ) -> jax.Array:
     """Sample ``image`` [B,H,W,C] at ``grid`` [B,Hg,Wg,2] positions in [-1,1].
 
@@ -245,7 +286,7 @@ def grid_sample(
     ~4e-3 error). Not integrated: the model's hot warps are C>=64.
     """
     if mode == "bilinear" and impl == "patch":
-        return _grid_sample_patch_diff(image, grid, align_corners)
+        return _grid_sample_patch_diff(image, grid, align_corners, use_mosaic)
     b, h, w, c = image.shape
     _, hg, wg, two = grid.shape
     assert two == 2, f"grid last dim must be 2 (x, y), got {two}"

@@ -71,6 +71,33 @@ def test_warp_vmem_forward_and_padding(rng):
     del grid_sample_vmem
 
 
+def test_resample2d_vmem_forward(rng):
+    """Compiled-Mosaic resample2d (4x4 window dump + per-axis cell
+    weights) vs the XLA oracle, incl. border clamping + odd sizes."""
+    from ffwm_tpu.ops.kernels.warp_vmem_pallas import _r2d_forward
+
+    img = jnp.asarray(rng.rand(2, 12, 14, 5), jnp.float32)
+    flow = jnp.asarray(rng.randn(2, 12, 14, 2) * 4, jnp.float32)
+    out = _r2d_forward(img, flow, 2.0, interpret=True)
+    ref = resample2d(img, flow, 2.0, kernel_size=4, dilation=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_block_extractor_vmem_forward(rng, k):
+    """Compiled-Mosaic block_extractor ((k+2)^2 window dump + per-sample
+    cell weights) vs the XLA oracle."""
+    from ffwm_tpu.ops.kernels.warp_vmem_pallas import _be_forward
+
+    src = jnp.asarray(rng.rand(2, 10, 12, 3), jnp.float32)
+    flow = jnp.asarray(rng.randn(2, 6, 7, 2) * 4, jnp.float32)
+    out = _be_forward(src, flow, k, interpret=True)
+    ref = block_extractor(src, flow, k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_warp_vmem_bf16_upcast_path(rng):
     from ffwm_tpu.ops.kernels.warp_vmem_pallas import _forward
 

@@ -75,6 +75,53 @@ def probe_warp_vmem(report):
         report(rec)
 
 
+def probe_r2d_be_vmem(report):
+    """Compiled window-dump versions of the two CUDA-extension ops."""
+    from ffwm_tpu.ops.block_extractor import block_extractor
+    from ffwm_tpu.ops.kernels.warp_vmem_pallas import (
+        block_extractor_vmem,
+        resample2d_vmem,
+    )
+    from ffwm_tpu.ops.resample2d import resample2d
+
+    r = np.random.RandomState(3)
+    img = jnp.asarray(r.rand(BATCH, 64, 64, 64), jnp.float32)
+    flow = jnp.asarray(r.randn(BATCH, 64, 64, 2) * 3, jnp.float32)
+    rec = {"kernel": "resample2d_vmem_64x64x64", "compiles": False}
+    try:
+        out_p = jax.jit(lambda i, f: resample2d_vmem(i, f, 2.0))(img, flow)
+        out_x = resample2d(img, flow, 2.0, kernel_size=4, dilation=1)
+        rec["compiles"] = True
+        rec["max_err"] = float(jnp.abs(out_p - out_x).max())
+        rec["pallas_ms_img"] = round(timeit(chained(
+            lambda c, f: resample2d_vmem(c, f, 2.0), img, flow), img, flow), 4)
+        rec["xla_ms_img"] = round(timeit(chained(
+            lambda c, f: resample2d(c, f, 2.0, kernel_size=4, dilation=1),
+            img, flow), img, flow), 4)
+    except Exception as e:
+        rec["error"] = f"{type(e).__name__}: {str(e)[:500]}"
+        traceback.print_exc(limit=3, file=sys.stderr)
+    report(rec)
+
+    src = jnp.asarray(r.rand(BATCH, 64, 64, 8), jnp.float32)
+    rec = {"kernel": "block_extractor_vmem_k3_64x64x8", "compiles": False}
+    try:
+        out_p = jax.jit(lambda s, f: block_extractor_vmem(s, f, 3))(src, flow)
+        out_x = block_extractor(src, flow, 3)
+        rec["compiles"] = True
+        rec["max_err"] = float(jnp.abs(out_p - out_x).max())
+        rec["pallas_ms_img"] = round(timeit(chained(
+            lambda c, f: block_extractor_vmem(c, f, 3)[:, :64, :64, :],
+            src, flow), src, flow), 4)
+        rec["xla_ms_img"] = round(timeit(chained(
+            lambda c, f: block_extractor(c, f, 3)[:, :64, :64, :],
+            src, flow), src, flow), 4)
+    except Exception as e:
+        rec["error"] = f"{type(e).__name__}: {str(e)[:500]}"
+        traceback.print_exc(limit=3, file=sys.stderr)
+    report(rec)
+
+
 def probe_warp(report):
     from ffwm_tpu.ops.kernels.warp_pallas import grid_sample_pallas
     from ffwm_tpu.ops.warp import grid_sample
@@ -171,6 +218,7 @@ def main():
         out.append(rec)
         print(json.dumps(rec), flush=True)
     probe_warp_vmem(report)
+    probe_r2d_be_vmem(report)
     probe_warp(report)
     probe_resample2d(report)
     probe_block_extractor(report)

@@ -31,8 +31,12 @@ def env(tmp_path_factory):
     s = 128
     x = jnp.zeros((1, s, s, 3), jnp.float32)
     flows0 = tuple(jnp.zeros((1, t, t, 2)) for t in (32, 64, 128))
-    flow_vars = models.flownet.init(jax.random.PRNGKey(0), x, train=False)
-    gen_vars = models.gen.init(jax.random.PRNGKey(1), x, flows0, train=False)
+    # jitted inits: one cacheable program per net instead of hundreds of
+    # eagerly-dispatched op compiles (~70 s of this fixture's setup on CPU)
+    flow_vars = jax.jit(lambda k: models.flownet.init(k, x, train=False))(
+        jax.random.PRNGKey(0))
+    gen_vars = jax.jit(lambda k: models.gen.init(k, x, flows0, train=False))(
+        jax.random.PRNGKey(1))
     save_tree(str(ckpt), "ffwm", "latest_net_flowNetF", flow_vars)
     save_tree(str(ckpt), "ffwm", "latest_net_netG", gen_vars)
     return {"dataroot": str(dataroot), "ckpt": str(ckpt)}

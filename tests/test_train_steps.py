@@ -48,7 +48,8 @@ def _max_delta(a, b):
 def flow_setup():
     model, state, tx = create_flow_train_state(jax.random.PRNGKey(0), image_size=S)
     vgg = VGG19Features(max_layer="relu3_1")
-    vgg_vars = vgg.init(jax.random.PRNGKey(1), jnp.zeros((1, S, S, 3)))
+    vgg_vars = jax.jit(vgg.init)(jax.random.PRNGKey(1),
+                                 jnp.zeros((1, S, S, 3)))
     return model, state, tx, vgg_vars
 
 
@@ -92,7 +93,7 @@ def test_reverse_flow_training_semantics(flow_setup, rng):
     from ffwm_tpu.models import VGG19Features
 
     model, state, tx, vgg_vars = flow_setup
-    b = 2
+    b = 1
     raw = {
         "img_S": rng.rand(b, S, S, 3).astype(np.float32),
         "img_F": rng.rand(b, S, S, 3).astype(np.float32),
@@ -146,12 +147,16 @@ def test_flow_checkpoint_roundtrip(flow_setup, tmp_path):
 def test_ffwm_train_step(rng):
     models = build_models()
     state, txs = create_ffwm_train_state(jax.random.PRNGKey(0), models, image_size=S)
-    lc_vars = models.lightcnn.init(jax.random.PRNGKey(1), jnp.zeros((1, S, S, 1)))
-    vgg_vars = models.vgg.init(jax.random.PRNGKey(2), jnp.zeros((1, S, S, 3)))
+    # jitted inits: single cacheable programs (same shapes as the multichip
+    # dryrun's, so these hit the committed compile cache)
+    lc_vars = jax.jit(models.lightcnn.init)(jax.random.PRNGKey(1),
+                                            jnp.zeros((1, S, S, 1)))
+    vgg_vars = jax.jit(models.vgg.init)(jax.random.PRNGKey(2),
+                                        jnp.zeros((1, S, S, 3)))
     frozen = {"lightcnn": lc_vars, "vgg": vgg_vars}
     step = make_ffwm_train_step(models, txs)
 
-    b = 2
+    b = 1  # one GAN step at 64px already costs ~30 s/sample on this 1-core box
     batch = {
         "img_S": jnp.asarray(rng.rand(b, S, S, 3), jnp.float32),
         "img_F": jnp.asarray(rng.rand(b, S, S, 3), jnp.float32),

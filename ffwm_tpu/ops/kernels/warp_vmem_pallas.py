@@ -164,6 +164,42 @@ def _pad_lanes(img_flat):
     return img_flat
 
 
+def _warp_fused_kernel(lin_ref, wts_ref, img_ref, out_ref, img_vmem,
+                       copy_sem, *, n_blk: int, w_row: int):
+    """Bilinear warp with the 4 tap weights applied IN the kernel: per
+    pixel, 2 two-row loads + 4 scalar-x-vector FMAs + ONE [1, C] store
+    (vs the window dump's [4, C] store + an XLA-side weighted-sum pass
+    that re-reads the 4x window from HBM). lin_ref [1, N_blk] int32 and
+    wts_ref [1, N_blk*4] f32 live in SMEM — wts is FLAT because SMEM pads
+    the minor dim to 128 (a [N,4] array allocates 32x its size);
+    img_ref [B, H*W, C] in HBM is DMA'd once per batch item into the
+    img_vmem scratch."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dma = pltpu.make_async_copy(img_ref.at[pl.program_id(0)], img_vmem,
+                                    copy_sem)
+        dma.start()
+        dma.wait()
+
+    UNROLL = 8
+
+    def body(i, _):
+        for j in range(UNROLL):
+            p = i * UNROLL + j
+            lin = lin_ref[0, p]
+            top = img_vmem[pl.ds(lin, 2), :]
+            bot = img_vmem[pl.ds(lin + w_row, 2), :]
+            out_ref[pl.ds(p, 1), :] = (
+                top[0:1, :] * wts_ref[0, p * 4]
+                + top[1:2, :] * wts_ref[0, p * 4 + 1]
+                + bot[0:1, :] * wts_ref[0, p * 4 + 2]
+                + bot[1:2, :] * wts_ref[0, p * 4 + 3])
+        return 0
+
+    jax.lax.fori_loop(0, n_blk // UNROLL, body, 0)
+
+
 def _patch_starts(image, grid, align_corners):
     """Clamped 2x2 patch starts + CLIP-shifted zeros-padding tap weights
     (the same scheme as ffwm_tpu.ops.warp._grid_sample_patch)."""
@@ -197,11 +233,45 @@ def _forward(image, grid, align_corners, interpret: bool = False):
     kdtype = jnp.float32 if image.dtype.itemsize < 4 else image.dtype
     img_flat = _pad_lanes(image.reshape(b, h * w, c).astype(kdtype))
 
-    win = _window_dump(img_flat, lin, w_row=w, taps_y=2, row_len=2,
-                       interpret=interpret)  # [B, P, 2, 2, Ck]
-    taps = win[..., :c].reshape(b, n, 4, c)
-    out = jnp.sum(taps * wts[..., None].astype(kdtype), axis=2)
-    return out.reshape(b, hg, wg, c).astype(image.dtype)
+    if interpret:
+        # interpret-mode (CPU tests): window dump + XLA weighting, which
+        # shares the exact tap/weight math with the fused TPU kernel
+        win = _window_dump(img_flat, lin, w_row=w, taps_y=2, row_len=2,
+                           interpret=True)  # [B, P, 2, 2, Ck]
+        taps = win[..., :c].reshape(b, n, 4, c)
+        out = jnp.sum(taps * wts[..., None].astype(kdtype), axis=2)
+        return out.reshape(b, hg, wg, c).astype(image.dtype)
+
+    bpad, hw, ck = img_flat.shape
+    budget_px = (1024 * 1024) // (ck * jnp.dtype(kdtype).itemsize)
+    n_blk = max(128, min(budget_px // 128 * 128, (n + 127) // 128 * 128))
+    n_pad = (n + n_blk - 1) // n_blk * n_blk
+    if n_pad != n:
+        pad = n_pad - n
+        lin = jnp.concatenate([lin, jnp.zeros((b, pad), lin.dtype)], axis=1)
+        wts = jnp.concatenate([wts, jnp.zeros((b, pad, 4), wts.dtype)], axis=1)
+    n_blocks = n_pad // n_blk
+
+    out = pl.pallas_call(
+        functools.partial(_warp_fused_kernel, n_blk=n_blk, w_row=w),
+        grid=(b, n_blocks),
+        in_specs=[
+            pl.BlockSpec((None, 1, n_blk), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, n_blk * 4), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # [B, H*W, Ck] in HBM
+        ],
+        out_specs=pl.BlockSpec((None, n_blk, ck), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, ck), kdtype),
+        scratch_shapes=[
+            pltpu.VMEM((hw, ck), kdtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(lin.reshape(b, 1, n_pad),
+      wts.astype(jnp.float32).reshape(b, 1, n_pad * 4), img_flat)
+    return out[:, :n, :c].reshape(b, hg, wg, c).astype(image.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

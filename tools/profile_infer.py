@@ -55,7 +55,7 @@ def chain(one, carry_of_out):
     @jax.jit
     def run(c0, *rest):
         def body(c, _):
-            return carry_of_out(one(c, *rest), c), ()
+            return carry_of_out(one(c, *rest), c).astype(c.dtype), ()
         out, _ = jax.lax.scan(body, c0, None, length=ITERS)
         return jnp.mean(out.astype(jnp.float32))
     return run
@@ -103,6 +103,15 @@ def main():
             timeit(f"warp_{sz}x{sz}x{c}[{name}]",
                    chain(lambda cc, g: grid_sample(cc, g), lambda o, cc: o),
                    feat, grid)
+
+        # matched conv: one 3x3 64->64 at 128^2 (what the MXU gives us here)
+        k = jnp.asarray(r.rand(3, 3, 64, 64) * 0.01, dtype)
+        feat = jnp.asarray(r.rand(BATCH, s, s, 64), dtype)
+        timeit(f"conv3x3_64ch_128[{name}]",
+               chain(lambda c, kk: jnp.tanh(jax.lax.conv_general_dilated(
+                   c, kk, (1, 1), "SAME",
+                   dimension_numbers=("NHWC", "HWIO", "NHWC"))),
+                   lambda o, c: o), feat, k)
 
     # XLA formulations of the CUDA-extension ops (pallas ship-or-kill record)
     src = jnp.asarray(r.rand(BATCH, 64, 64, 64), jnp.float32)

@@ -1,4 +1,5 @@
-"""Compiled Mosaic warp: VMEM-resident source + scalar-loop patch loads.
+"""Compiled Mosaic kernels for the gather-shaped ops (warp / resample2d /
+block_extractor) — VMEM-resident source + scalar-loop window loads.
 
 Why this shape: XLA's general ``lax.gather`` on TPU issues one DMA
 descriptor per index (~30 ns each measured on v5e — 33M idx/s, 16 GB/s
@@ -7,20 +8,24 @@ vectorized ``tpu.dynamic_gather`` cannot address across vregs, so a
 whole-image vector gather does not lower ("Multiple source vregs along
 gather dimension", see tools/pallas_tpu_probe.py). What *does* lower is a
 hardware loop of scalar-addressed VMEM vector loads: the source image
-[H*W, C] is VMEM-resident (2-4 MB at 128^2 — fits in v5e's 128 MB VMEM),
-and each iteration copies the two x-adjacent row pairs of a bilinear 2x2
-patch with dynamic sublane offsets.
+[H*W, C] is DMA'd once per batch item from HBM into a VMEM scratch (kept
+out of the Pallas block pipeline so it stays single-buffered under the
+16 MB scoped-VMEM budget), and each iteration loads the x-contiguous row
+pairs of the op's sample window at dynamic sublane offsets.
 
-The kernel is pure data movement (the gather XLA can't do fast); index
-computation and the bilinear weighting stay outside in XLA where they
-vectorize perfectly. Gradients: custom VJP reusing the XLA formulations
-from ffwm_tpu.ops.warp (deterministic matmul image-adjoint), mirroring the
-reference CUDA kernels' split fwd/bwd
-(cuda/resample2d_package/resample2d_kernel.cu:20-95 fwd vs :98-330 bwd).
+Index math lives outside in XLA where it vectorizes. Two kernel bodies:
+the *warp* fuses the four bilinear weights in-kernel (scalar SMEM reads,
+one [1, C] store per pixel — 0.19 ms/img at 128^2 x 64ch vs XLA's 0.58,
+bit-exact fp32); resample2d / block_extractor dump their (4x4 / (k+2)^2)
+windows and fold border-clamped per-axis one-hot cell weights outside.
+Gradients: custom VJPs reusing the verified XLA formulations
+(deterministic matmul image-adjoint), mirroring the reference CUDA
+kernels' split fwd/bwd (cuda/resample2d_package/resample2d_kernel.cu:20-95
+fwd vs :98-330 bwd).
 
-Semantics: identical to ffwm_tpu.ops.warp.grid_sample (torch
-``grid_sample``, bilinear, zeros padding, align_corners=False) for any
-grid geometry; non-square-raster grids fall back to the XLA patch gather.
+Semantics: identical to the XLA ops (torch ``grid_sample`` bilinear
+zeros-padding for the warp; border-clamped taps for resample2d /
+block_extractor). Ineligible geometries fall back to the XLA paths.
 """
 
 from __future__ import annotations

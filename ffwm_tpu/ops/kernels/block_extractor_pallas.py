@@ -97,8 +97,8 @@ def _forward(source, flow, k, tile, interpret):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def block_extractor_pallas(source, flow, kernel_size: int = 3,
-                           tile: int = 1024, interpret: bool = True):
+def block_extractor_pallas(source, flow, kernel_size: int, tile: int,
+                           interpret: bool):
     """Flow-addressed block gather; Pallas forward / XLA backward."""
     return _forward(source, flow, kernel_size, tile, interpret)
 

@@ -117,9 +117,8 @@ def _forward(image, flow, sigma, kernel_size, dilation, tile, interpret):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def resample2d_pallas(image, flow, sigma, kernel_size: int = 2,
-                      dilation: int = 1, tile: int = 1024,
-                      interpret: bool = True):
+def resample2d_pallas(image, flow, sigma, kernel_size: int,
+                      dilation: int, tile: int, interpret: bool):
     """Gaussian-weighted resampling; Pallas forward / XLA backward."""
     return _forward(image, flow, sigma, kernel_size, dilation, tile, interpret)
 

@@ -114,8 +114,8 @@ def _forward(image: jax.Array, grid: jax.Array, align_corners: bool,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def grid_sample_pallas(image: jax.Array, grid: jax.Array,
-                       align_corners: bool = False, c_block: int = 64,
-                       interpret: bool = True) -> jax.Array:
+                       align_corners: bool, c_block: int,
+                       interpret: bool) -> jax.Array:
     """Bilinear zeros-padding grid sample, Pallas forward / XLA backward."""
     return _forward(image, grid, align_corners, c_block, interpret)
 

@@ -178,7 +178,8 @@ def _g_forward(models: FFWMModels, flow_f: NetState, flow_b: NetState,
 
 
 def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
-                         gan_mode: str = "lsgan", remat_frozen: bool = True):
+                         gan_mode: str = "lsgan", remat_frozen: bool = True,
+                         compute_dtype=None, loss_families=None):
     """Returns jitted step(state, batch, frozen) -> (state, metrics).
 
     batch: img_S, img_F [B,128,128,3]; lm_F [B,580,2] int; mask_S, mask_F
@@ -189,8 +190,32 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
     facial parts) and 4 LightCNN forwards whose activations otherwise
     dominate HBM (~10 GB at batch 8); recompute costs ~10% FLOPs and avoids
     spilling.
+
+    compute_dtype: e.g. jnp.bfloat16 runs the forward/backward compute in
+    that dtype with fp32 MASTER state — params, Adam moments, BatchNorm
+    running stats and spectral u/v stay fp32 (the casts live inside the
+    differentiated function, so grads emerge fp32; mutated collections are
+    cast back before re-entering the state). None = fp32 throughout (the
+    parity configuration).
+
+    loss_families: optional subset of {"l1","prc","illu","iden","adv","fc"}
+    to compute — profiling/ablation knob (tools/profile_train.py measures
+    each family's marginal cost by removal). Disabled families report 0 and
+    are structurally absent from the program. None = all (production).
     """
     tx_g, tx_f, tx_d = txs
+    fams = (frozenset(("l1", "prc", "illu", "iden", "adv", "fc"))
+            if loss_families is None else frozenset(loss_families))
+
+    if compute_dtype is None:
+        cast = lambda t: t
+    else:
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+    to_f32 = lambda t: jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
 
     vgg_fwd = lambda v, img: models.vgg.apply(v, img)
     lcnn_fwd = lambda v, img: models.lightcnn.apply(v, img)
@@ -199,16 +224,22 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
         lcnn_fwd = jax.checkpoint(lcnn_fwd)
 
     def d_loss_fn(d_params, d_extra, gf128, img_f, mask_f):
-        disc = NetState(params=d_params, extra=d_extra)
+        disc = NetState(params=cast(d_params), extra=cast(d_extra))
+        gf128, img_f, mask_f = cast((gf128, img_f, mask_f))
         fake = jax.lax.stop_gradient(gf128) * mask_f
         pred_fake, disc = apply_mutable(models.disc, disc, fake, train=True)
         pred_real, disc = apply_mutable(models.disc, disc, img_f * mask_f, train=True)
         loss_fake = gan_loss(pred_fake, False, gan_mode, for_dis=True)
         loss_real = gan_loss(pred_real, True, gan_mode, for_dis=True)
-        loss = (loss_fake + loss_real) * 0.5
-        return loss, disc
+        loss = ((loss_fake + loss_real) * 0.5).astype(jnp.float32)
+        return loss, NetState(params=disc.params, extra=to_f32(disc.extra))
 
     def g_loss_fn(gfb_params, extras, disc: NetState, batch, frozen, titers):
+        gfb_params, extras = cast(gfb_params), cast(extras)
+        disc = NetState(params=cast(disc.params), extra=cast(disc.extra))
+        batch = dict(batch, **cast({k: batch[k] for k in
+                                    ("img_S", "img_F", "mask_S", "mask_F")}))
+        frozen = cast(frozen)
         flow_f = NetState(params=gfb_params[0], extra=extras[0])
         flow_b = NetState(params=gfb_params[1], extra=extras[1])
         gen = NetState(params=gfb_params[2], extra=extras[2])
@@ -229,30 +260,50 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
         gf64 = guided_filter(fake64, img_f64, gf_radius(fake64.shape[1]))
         gf32 = guided_filter(fake32, img_f32, gf_radius(fake32.shape[1]))
         # warm-up: raw fakes for the first 20k images (reference :97-105)
-        use_gf = (titers >= WARMUP_IMAGES).astype(jnp.float32)
+        use_gf = (titers >= WARMUP_IMAGES).astype(fake128.dtype)
         sel = lambda gf, raw: use_gf * gf + (1.0 - use_gf) * raw
         l128, l64, l32 = sel(gf128, fake128), sel(gf64, fake64), sel(gf32, fake32)
 
+        zero = jnp.zeros((), jnp.float32)
         feats = lambda img: vgg_fwd(frozen["vgg"], img)
         loss_prc = (
             perceptual_loss(feats, l128 * mask_f, img_f * mask_f)
             + perceptual_loss(feats, l64 * mask_f64, img_f64 * mask_f64)
             + 1.5 * perceptual_loss(feats, l32 * mask_f32, img_f32 * mask_f32)
-        )
+        ).astype(jnp.float32) if "prc" in fams else zero
         loss_l1 = (
             jnp.mean(jnp.abs(l128 * mask_f - img_f * mask_f))
             + jnp.mean(jnp.abs(l64 * mask_f64 - img_f64 * mask_f64))
             + 1.5 * jnp.mean(jnp.abs(l32 * mask_f32 - img_f32 * mask_f32))
-        )
+        ).astype(jnp.float32) if "l1" in fams else zero
         loss_illu = illumination_loss(
-            fwd["flows_b"], (fake128, fake64, fake32), img_s, mask_s)
+            fwd["flows_b"], (fake128, fake64, fake32), img_s, mask_s
+        ).astype(jnp.float32) if "illu" in fams else zero
 
-        lcnn = lambda img: lcnn_fwd(frozen["lightcnn"], img)
-        loss_iden_raw = identity_loss(lcnn, fake128, img_f, crop=crop_identity)
-        loss_iden_gf = identity_loss(lcnn, gf128, img_f, crop=crop_identity)
+        if "iden" in fams:
+            lcnn = lambda img: lcnn_fwd(frozen["lightcnn"], img)
+            loss_iden_raw = identity_loss(lcnn, fake128, img_f,
+                                          crop=crop_identity)
+            # the GF identity term uses the warm-up-SELECTED image: the raw
+            # fake for the first 20k images, like the reference's local
+            # img_GF128 (ffwm_model.py:97-103 select, :122 use) — NOT
+            # unconditionally the guided-filtered fake (round-2 parity
+            # defect, caught by tests/test_train_step_parity.py at titers=0)
+            loss_iden_gf = identity_loss(lcnn, l128, img_f,
+                                         crop=crop_identity)
+            loss_iden = (loss_iden_raw * 0.5
+                         + loss_iden_gf * 1.0).astype(jnp.float32)
+        else:
+            loss_iden = zero
 
-        pred_fake, disc2 = apply_mutable(models.disc, disc, gf128 * mask_f, train=True)
-        loss_adv = gan_loss(pred_fake, True, gan_mode, for_dis=False)
+        if "adv" in fams:
+            pred_fake, disc2 = apply_mutable(models.disc, disc, gf128 * mask_f,
+                                             train=True)
+            loss_adv = gan_loss(pred_fake, True, gan_mode,
+                                for_dis=False).astype(jnp.float32)
+        else:
+            disc2 = disc
+            loss_adv = zero
 
         p = fwd["parts"]
         loss_fc = (
@@ -260,10 +311,9 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
                    + perceptual_loss(feats, p["eyerg"], p["eyergt"]))
             + perceptual_loss(feats, p["mouthg"], p["mouthgt"])
             + perceptual_loss(feats, p["noseg"], p["nosegt"])
-        )
+        ).astype(jnp.float32) if "fc" in fams else zero
 
         loss_l1 = loss_l1 * 5.0
-        loss_iden = loss_iden_raw * 0.5 + loss_iden_gf * 1.0
         loss_adv = loss_adv * 0.1
         loss_illu = loss_illu * 15.0
         loss_g = loss_iden + loss_l1 + loss_prc + loss_illu + loss_fc + loss_adv
@@ -273,7 +323,13 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
             "loss_illu": loss_illu, "loss_adv": loss_adv,
             "loss_prc": loss_prc, "loss_fc": loss_fc,
         }
-        return loss_g, ((flow_f2, flow_b2, gen2), disc2, metrics)
+        net_states = (
+            NetState(params=flow_f.params, extra=to_f32(flow_f2.extra)),
+            NetState(params=flow_b.params, extra=to_f32(flow_b2.extra)),
+            NetState(params=gen.params, extra=to_f32(gen2.extra)),
+        )
+        disc2 = NetState(params=disc2.params, extra=to_f32(disc2.extra))
+        return loss_g, (net_states, disc2, metrics)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: FFWMTrainState, batch, frozen):
@@ -282,9 +338,12 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
         batch_size = img_s.shape[0]
 
         # ---- G-side forward for the D update's fake (no grad; XLA CSEs the
-        # primal against the G-grad recomputation below).
-        fwd, _ = _g_forward(models, state.flow_f, state.flow_b, state.gen,
-                            img_s, img_f, batch["lm_F"])
+        # primal against the G-grad recomputation below — in compute_dtype
+        # mode both run the cast graph so the CSE still fires).
+        cf = lambda ns: NetState(params=cast(ns.params), extra=cast(ns.extra))
+        fwd, _ = _g_forward(models, cf(state.flow_f), cf(state.flow_b),
+                            cf(state.gen), cast(img_s), cast(img_f),
+                            batch["lm_F"])
 
         # ---- D update (reference backward_D, :143-149)
         (loss_d, disc_after), d_grads = jax.value_and_grad(
@@ -307,6 +366,13 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
         f_params = (state.flow_f.params, state.flow_b.params)
         f_updates, new_opt_f = tx_f.update(f_grads, state.opt_f, f_params)
         ff_new, fb_new = optax.apply_updates(f_params, f_updates)
+
+        # per-optimizer global grad norms (diagnose_network equivalent,
+        # util/util.py:73-89; compared against torch autograd by the
+        # train-step parity test)
+        metrics["grad_norm_G"] = optax.global_norm(grads[2])
+        metrics["grad_norm_F"] = optax.global_norm((grads[0], grads[1]))
+        metrics["grad_norm_D"] = optax.global_norm(d_grads)
 
         flow_f2, flow_b2, gen2 = net_states
         new_state = FFWMTrainState(
@@ -332,11 +398,11 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
     return step
 
 
-def make_ffwm_inference(models: FFWMModels, return_att: bool = True,
-                        dtype=jnp.float32):
+def make_ffwm_inference(models: FFWMModels, dtype=jnp.float32):
     """The test path (reference test_forward, :183-189): flowF -> netG ->
-    guided filter. jitted; variables passed per-call so converted
-    checkpoints plug in.
+    guided filter, attention map always included in the outputs (like the
+    reference's test_forward, which always passes return_att=True). jitted;
+    variables passed per-call so converted checkpoints plug in.
 
     dtype=jnp.bfloat16 runs the conv stacks in bf16 on the MXU (~1.3x
     faster on v5e); the guided filter and outputs stay fp32. fp32 is the

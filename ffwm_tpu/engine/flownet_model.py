@@ -89,6 +89,10 @@ def make_flow_train_step(
     def train_step(state: FlowTrainState, batch, vgg_vars):
         grads, (new_net, metrics) = jax.grad(loss_fn, has_aux=True)(
             state.net.params, state.net.extra, batch, vgg_vars)
+        # global grad norm: the jit-world equivalent of the reference's
+        # diagnose_network helper (util/util.py:73-89) and the quantity the
+        # train-step parity test compares against torch autograd.
+        metrics["grad_norm"] = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.net.params)
         new_params = optax.apply_updates(state.net.params, updates)
         new_state = FlowTrainState(

@@ -74,10 +74,12 @@ def lightcnn_sgd(momentum: float = 0.9, weight_decay: float = 1e-4
 
 
 def create_lightcnn_train_state(rng, num_classes: int = 79077,
-                                pretrained_vars=None, lr: float = 1e-4):
+                                pretrained_vars=None, lr: float = 1e-4,
+                                image_size: int = 128):
     model = LightCNN29(num_classes=num_classes)
     if pretrained_vars is None:
-        variables = model.init({"params": rng}, jnp.zeros((1, 128, 128, 1)))
+        variables = model.init({"params": rng},
+                               jnp.zeros((1, image_size, image_size, 1)))
     else:
         variables = pretrained_vars
     net = NetState.from_variables(dict(variables))

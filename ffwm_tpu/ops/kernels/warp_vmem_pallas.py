@@ -376,7 +376,10 @@ def resample2d_vmem(image: jax.Array, flow: jax.Array, sigma=2.0,
     kernel; other configurations fall back to the XLA formulation."""
     from ffwm_tpu.ops.resample2d import resample2d as _r2d_xla
 
-    if kernel_size != 4 or dilation != 1:
+    if (kernel_size != 4 or dilation != 1
+            or image.shape[1] < 4 or image.shape[2] < 4):
+        # sources smaller than the 4x4 window would make the clamped window
+        # start (clip(t0-1, 0, size-4)) negative -> OOB VMEM reads
         return _r2d_xla(image, flow, sigma, kernel_size=kernel_size,
                         dilation=dilation)
     return _r2d_forward(image, flow, sigma)
@@ -461,6 +464,13 @@ def block_extractor_vmem(source: jax.Array, flow: jax.Array,
                          kernel_size: int = 3) -> jax.Array:
     """Compiled-Mosaic flow-addressed k x k block extraction (reference
     block_extractor semantics: border-clamped bilinear taps)."""
+    if (source.shape[1] < kernel_size + 2
+            or source.shape[2] < kernel_size + 2):
+        # sources smaller than the (k+2)^2 window would make the clamped
+        # window start negative -> OOB VMEM reads; use the XLA formulation
+        from ffwm_tpu.ops.block_extractor import block_extractor as _be_xla
+
+        return _be_xla(source, flow, kernel_size)
     return _be_forward(source, flow, kernel_size)
 
 

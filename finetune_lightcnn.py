@@ -55,6 +55,9 @@ def parse_args():
                    help="pretrained LightCNN .pth")
     p.add_argument("--save_path", default="./checkpoints", type=str)
     p.add_argument("--dataroot", default="./dataset", type=str)
+    p.add_argument("--load_size", default=128, type=int,
+                   help="gray image size (128 matches the reference and the "
+                        "released checkpoints; smaller only for smoke tests)")
     p.add_argument("--crop", action="store_true")
     p.add_argument("--preload", action="store_true")
     p.add_argument("--seed", default=0, type=int)
@@ -85,12 +88,13 @@ def main():
         pretrained = load_pth(args.model_path, "lightcnn")
     model, state, tx = create_lightcnn_train_state(
         jax.random.PRNGKey(args.seed), num_classes=args.num_classes,
-        pretrained_vars=pretrained, lr=args.lr)
+        pretrained_vars=pretrained, lr=args.lr, image_size=args.load_size)
 
     train_ds = LightCNNDataset(args.dataroot, "train", crop=args.crop,
-                               seed=args.seed)
+                               load_size=args.load_size, seed=args.seed)
     val_ds = LightCNNDataset(args.dataroot, "test", crop=args.crop,
-                             aug=False, seed=args.seed)
+                             load_size=args.load_size, aug=False,
+                             seed=args.seed)
     train_loader = DataLoader(train_ds, batch_size=args.batch_size,
                               shuffle=True, drop_last=True, seed=args.seed)
     val_loader = DataLoader(val_ds, batch_size=args.batch_size, shuffle=False)

@@ -38,8 +38,32 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # *cold* run on a fresh box skips the big XLA:CPU compiles (the GAN train
 # step alone costs minutes on one core). Entries are keyed by HLO + compile
 # options + jaxlib version; the canonical XLA_FLAGS above keep keys stable.
-_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      ".jax_cache")
+
+
+def _host_cache_dir(root):
+    """Machine-feature-scoped cache subdir (duplicated in __graft_entry__.py,
+    which must stay import-order hermetic): XLA:CPU persistent-cache entries
+    are AOT artifacts compiled for THIS host's ISA — the loader itself warns
+    that loading them elsewhere "could lead to execution errors such as
+    SIGILL". Scoping by a CPU-feature fingerprint makes a foreign host
+    recompile into its own subdir instead of loading incompatible code."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            feats = "none"
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        import platform
+        feats = platform.machine()
+    return os.path.join(root, "host-" + hashlib.sha1(feats.encode()).hexdigest()[:12])
+
+
+_CACHE = _host_cache_dir(
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 

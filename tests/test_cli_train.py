@@ -66,3 +66,78 @@ def test_exported_pth_reloads(dataroot, tmp_path, monkeypatch):
     b = jax.tree.leaves(jax.tree.map(np.asarray, state.net.variables["params"]))
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_train_ffwm_cli(dataroot, tmp_path, monkeypatch, capsys):
+    """End-to-end main() of the flagship trainer (VERDICT r2 #4): pretrained
+    flownet loading (orbax dir AND .pth), one epoch of sharded GAN steps,
+    display/infer path, 4-net + full-state + .pth saves, then a
+    --continue_train resume that preserves titers
+    (reference train_ffwm.py:42-103)."""
+    import jax
+
+    import train_ffwm
+    from ffwm_tpu.engine import create_flow_train_state, save_pth, save_tree
+
+    ckpt = str(tmp_path / "ckpt")
+    # pretrained flownets: one orbax tree, one .pth export — both branches
+    # of load_net_vars (the reference loads both from opt.flownetf/b)
+    _, fstate, _ = create_flow_train_state(jax.random.PRNGKey(3), image_size=64)
+    pre = str(tmp_path / "pretrained")
+    save_tree(pre, "flownetf", "4_net_flowNet",
+              jax.device_get(fstate.net.variables))
+    save_pth(jax.device_get(fstate.net.variables), "flownet",
+             str(tmp_path / "pretrained" / "flownetb.pth"))
+
+    args = [
+        "train_ffwm.py", "--dataroot", dataroot, "--name", "ffwmsmoke",
+        "--checkpoints_dir", ckpt, "--batch_size", "8", "--load_size", "64",
+        "--niter", "1", "--niter_decay", "0", "--save_epoch_freq", "1",
+        "--print_freq", "8", "--display_freq", "8", "--max_dataset_size", "8",
+        "--flownetf", os.path.join(pre, "flownetf", "4_net_flowNet"),
+        "--flownetb", str(tmp_path / "pretrained" / "flownetb.pth"),
+    ]
+    monkeypatch.setattr(sys, "argv", args)
+    train_ffwm.main()
+    out = capsys.readouterr().out
+    assert "loading flowNetF from" in out
+    assert "loading flowNetB from" in out
+
+    base = os.path.join(ckpt, "ffwmsmoke")
+    for tag in ("netG", "netD", "flowNetF", "flowNetB"):
+        assert os.path.isdir(os.path.join(base, f"latest_net_{tag}.ckpt")), tag
+    assert os.path.isdir(os.path.join(base, "latest_state.ckpt"))
+    assert os.path.isdir(os.path.join(base, "1_state.ckpt"))
+    assert os.path.exists(os.path.join(base, "1_net_netG.pth"))
+    assert os.path.exists(os.path.join(base, "1_net_flowNetF.pth"))
+    assert os.path.exists(os.path.join(base, "train_opt.txt"))
+    # the display path wrote visuals to the web dir
+    web = os.path.join(base, "web", "images")
+    assert os.path.isdir(web) and len(os.listdir(web)) > 0
+
+    # resume: full-state restore must preserve the warm-up counter (the
+    # reference re-arms its 20k gate on resume — ffwm_model.py:97; we don't)
+    monkeypatch.setattr(sys, "argv", args + ["--continue_train", "--epoch", "latest"])
+    train_ffwm.main()
+    out = capsys.readouterr().out
+    assert "resumed full train state from latest_state (titers=8)" in out
+
+
+def test_finetune_lightcnn_cli(dataroot, tmp_path, monkeypatch, capsys):
+    """End-to-end main() of the LightCNN finetune CLI (VERDICT r2 #4): CE
+    SGD epoch + rank-1 validation + checkpoint naming
+    (reference lightcnn/finetune.py:55-130)."""
+    import finetune_lightcnn
+
+    save = str(tmp_path / "lcnn_ckpt")
+    monkeypatch.setattr(sys, "argv", [
+        "finetune_lightcnn.py", "--dataroot", dataroot, "--save_path", save,
+        "--batch-size", "8", "--epochs", "1", "--num_classes", "8",
+        "--load_size", "64", "--print-freq", "8",
+    ])
+    finetune_lightcnn.main()
+    out = capsys.readouterr().out
+    assert "090: [" in out  # per-camera rank-1 validation lines printed
+    assert os.path.isdir(os.path.join(save, "lightCNN_1_checkpoint.ckpt"))
+    assert os.path.exists(os.path.join(save, "lightCNN_1_checkpoint.pth"))
+    assert os.path.isdir(os.path.join(save, "lightCNN_latest_checkpoint.ckpt"))

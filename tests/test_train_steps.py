@@ -212,3 +212,66 @@ def test_set_lr_and_schedules():
     assert pt.update(1.0) == 1e-3
     assert pt.update(1.0) == 1e-3     # 1 bad epoch
     assert pt.update(1.0) == 2e-4     # second bad epoch -> decay
+
+
+def test_ffwm_train_step_bf16_compute(rng):
+    """compute_dtype=bf16: bf16 forward/backward with fp32 master state —
+    losses finite, every state leaf (params, Adam moments, BN stats,
+    spectral u/v) stays fp32."""
+    models = build_models()
+    state, txs = create_ffwm_train_state(jax.random.PRNGKey(0), models,
+                                         image_size=S)
+    lc_vars = jax.jit(models.lightcnn.init)(jax.random.PRNGKey(1),
+                                            jnp.zeros((1, S, S, 1)))
+    vgg_vars = jax.jit(models.vgg.init)(jax.random.PRNGKey(2),
+                                        jnp.zeros((1, S, S, 3)))
+    frozen = {"lightcnn": lc_vars, "vgg": vgg_vars}
+    step = make_ffwm_train_step(models, txs, compute_dtype=jnp.bfloat16)
+
+    b = 1
+    batch = {
+        "img_S": jnp.asarray(rng.rand(b, S, S, 3), jnp.float32),
+        "img_F": jnp.asarray(rng.rand(b, S, S, 3), jnp.float32),
+        "lm_F": jnp.asarray(rng.randint(0, S, (b, 580, 2)), jnp.int32),
+        "mask_S": jnp.asarray((rng.rand(b, S, S, 1) > 0.2), jnp.float32),
+        "mask_F": jnp.asarray((rng.rand(b, S, S, 1) > 0.2), jnp.float32),
+    }
+    state2, metrics = step(state, batch, frozen)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+        assert np.asarray(v).dtype == np.float32, k
+    for path, leaf in jax.tree_util.tree_flatten_with_path(state2)[0]:
+        assert leaf.dtype != jnp.bfloat16, jax.tree_util.keystr(path)
+
+
+def test_ffwm_train_step_loss_ablation(rng):
+    """loss_families structurally removes loss terms (the profile tool's
+    marginal-cost knob): disabled metrics are exactly 0 and loss_G is the
+    sum of the enabled ones."""
+    models = build_models()
+    state, txs = create_ffwm_train_state(jax.random.PRNGKey(0), models,
+                                         image_size=S)
+    frozen = {"lightcnn": jax.jit(models.lightcnn.init)(
+                  jax.random.PRNGKey(1), jnp.zeros((1, S, S, 1))),
+              "vgg": jax.jit(models.vgg.init)(
+                  jax.random.PRNGKey(2), jnp.zeros((1, S, S, 3)))}
+    step = make_ffwm_train_step(models, txs, loss_families={"l1", "illu"})
+
+    b = 1
+    batch = {
+        "img_S": jnp.asarray(rng.rand(b, S, S, 3), jnp.float32),
+        "img_F": jnp.asarray(rng.rand(b, S, S, 3), jnp.float32),
+        "lm_F": jnp.asarray(rng.randint(0, S, (b, 580, 2)), jnp.int32),
+        "mask_S": jnp.asarray((rng.rand(b, S, S, 1) > 0.2), jnp.float32),
+        "mask_F": jnp.asarray((rng.rand(b, S, S, 1) > 0.2), jnp.float32),
+    }
+    _, metrics = step(state, batch, frozen)
+    assert float(metrics["loss_prc"]) == 0.0
+    assert float(metrics["loss_iden"]) == 0.0
+    assert float(metrics["loss_adv"]) == 0.0
+    assert float(metrics["loss_fc"]) == 0.0
+    assert float(metrics["loss_l1"]) > 0.0
+    assert float(metrics["loss_illu"]) > 0.0
+    np.testing.assert_allclose(
+        float(metrics["loss_G"]),
+        float(metrics["loss_l1"]) + float(metrics["loss_illu"]), rtol=1e-6)

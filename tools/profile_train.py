@@ -95,7 +95,8 @@ def report(name, dt, b, base=None):
 def main():
     want = set(sys.argv[1:]) or {"full"}
     if "all" in want:
-        want = ({"full", "remat_off", "bf16", "b16", "d_only", "fwd_only"}
+        want = ({"full", "remat_off", "bf16", "bf16_remat_off", "b16",
+                 "bf16_b16", "d_only", "fwd_only"}
                 | {f"no_{f}" for f in ALL_FAMS})
 
     from ffwm_tpu.engine import make_ffwm_train_step
@@ -141,10 +142,21 @@ def main():
         report("bf16_compute", time_step(step, fresh_state(), batch, frozen),
                b, base)
 
+    if "bf16_remat_off" in want:
+        step = make_ffwm_train_step(models, txs, compute_dtype=jnp.bfloat16,
+                                    remat_frozen=False)
+        report("bf16_remat_off",
+               time_step(step, fresh_state(), batch, frozen), b)
+
     if "b16" in want:
         batch16 = make_batch(16, s)
         step = make_ffwm_train_step(models, txs)
         report("full_b16", time_step(step, fresh_state(), batch16, frozen), 16)
+
+    if "bf16_b16" in want:
+        batch16 = make_batch(16, s)
+        step = make_ffwm_train_step(models, txs, compute_dtype=jnp.bfloat16)
+        report("bf16_b16", time_step(step, fresh_state(), batch16, frozen), 16)
 
     if "fwd_only" in want:
         st = fresh_state()

@@ -128,7 +128,14 @@ def main():
                     "flowNetB": state.flow_b.params})
     state = replicate(state, mesh)
     frozen = replicate(frozen, mesh)
-    step_fn = make_ffwm_train_step(models, txs, crop_identity=opt.crop)
+    # --bf16: bf16 compute with fp32 master weights/moments — measured
+    # 77.8 vs 90.2 ms/step at b=8 on v5e, 114.5 img/s at b=16 (BASELINE.md
+    # round-3 train profile). fp32 (default) is the parity configuration.
+    # --no_remat trades HBM for a few % of step time (75.1 ms with bf16).
+    step_fn = make_ffwm_train_step(
+        models, txs, crop_identity=opt.crop,
+        compute_dtype=jnp.bfloat16 if opt.bf16 else None,
+        remat_frozen=not opt.no_remat)
     infer_fn = make_ffwm_inference(models)
 
     vis = Visualizer(opt.name, opt.checkpoints_dir, phase="train",

@@ -32,7 +32,14 @@ import jax.numpy as jnp
 import optax
 
 from ffwm_tpu.engine.common import NetState, adam, apply_mutable
-from ffwm_tpu.losses import gan_loss, identity_loss, illumination_loss, perceptual_loss
+from ffwm_tpu.losses import (
+    gan_loss,
+    identity_loss,
+    identity_loss_pair,
+    illumination_loss,
+    perceptual_loss,
+    perceptual_loss_grouped,
+)
 from ffwm_tpu.models import FFWM, FlowNet, LightCNN29, MSDiscriminator, VGG19Features
 from ffwm_tpu.ops.filters import guided_filter
 from ffwm_tpu.ops.resize import resize_bilinear, resize_nearest
@@ -179,7 +186,8 @@ def _g_forward(models: FFWMModels, flow_f: NetState, flow_b: NetState,
 
 def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
                          gan_mode: str = "lsgan", remat_frozen: bool = True,
-                         compute_dtype=None, loss_families=None):
+                         compute_dtype=None, loss_families=None,
+                         batch_frozen: bool = True):
     """Returns jitted step(state, batch, frozen) -> (state, metrics).
 
     batch: img_S, img_F [B,128,128,3]; lm_F [B,580,2] int; mask_S, mask_F
@@ -202,6 +210,13 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
     to compute — profiling/ablation knob (tools/profile_train.py measures
     each family's marginal cost by removal). Disabled families report 0 and
     are structurally absent from the program. None = all (production).
+
+    batch_frozen: run the identity loss's two differentiated LightCNN
+    branches as ONE 2B-batch application and the 8 facial-part VGG crops as
+    two 4B-batch applications (values identical — the frozen nets are
+    batch-invariant; the small per-call batches underfill the MXU, see
+    BASELINE.md round-3 profile). False = one application per branch like
+    the reference's call structure (ablation/debug).
     """
     tx_g, tx_f, tx_d = txs
     fams = (frozenset(("l1", "prc", "illu", "iden", "adv", "fc"))
@@ -282,17 +297,22 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
 
         if "iden" in fams:
             lcnn = lambda img: lcnn_fwd(frozen["lightcnn"], img)
-            loss_iden_raw = identity_loss(lcnn, fake128, img_f,
-                                          crop=crop_identity)
-            # the GF identity term uses the warm-up-SELECTED image: the raw
-            # fake for the first 20k images, like the reference's local
-            # img_GF128 (ffwm_model.py:97-103 select, :122 use) — NOT
+            # the GF identity term uses the warm-up-SELECTED image (l128):
+            # the raw fake for the first 20k images, like the reference's
+            # local img_GF128 (ffwm_model.py:97-103 select, :122 use) — NOT
             # unconditionally the guided-filtered fake (round-2 parity
             # defect, caught by tests/test_train_step_parity.py at titers=0)
-            loss_iden_gf = identity_loss(lcnn, l128, img_f,
-                                         crop=crop_identity)
-            loss_iden = (loss_iden_raw * 0.5
-                         + loss_iden_gf * 1.0).astype(jnp.float32)
+            if batch_frozen:
+                loss_iden = identity_loss_pair(
+                    lcnn, fake128, l128, img_f, crop=crop_identity,
+                    weights=(0.5, 1.0)).astype(jnp.float32)
+            else:
+                loss_iden = (
+                    identity_loss(lcnn, fake128, img_f,
+                                  crop=crop_identity) * 0.5
+                    + identity_loss(lcnn, l128, img_f,
+                                    crop=crop_identity) * 1.0
+                ).astype(jnp.float32)
         else:
             loss_iden = zero
 
@@ -306,12 +326,21 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
             loss_adv = zero
 
         p = fwd["parts"]
-        loss_fc = (
-            2.0 * (perceptual_loss(feats, p["eyelg"], p["eyelgt"])
-                   + perceptual_loss(feats, p["eyerg"], p["eyergt"]))
-            + perceptual_loss(feats, p["mouthg"], p["mouthgt"])
-            + perceptual_loss(feats, p["noseg"], p["nosegt"])
-        ).astype(jnp.float32) if "fc" in fams else zero
+        if "fc" not in fams:
+            loss_fc = zero
+        elif batch_frozen:
+            loss_fc = perceptual_loss_grouped(
+                feats,
+                (p["eyelg"], p["eyerg"], p["mouthg"], p["noseg"]),
+                (p["eyelgt"], p["eyergt"], p["mouthgt"], p["nosegt"]),
+                group_weights=(2.0, 2.0, 1.0, 1.0)).astype(jnp.float32)
+        else:
+            loss_fc = (
+                2.0 * (perceptual_loss(feats, p["eyelg"], p["eyelgt"])
+                       + perceptual_loss(feats, p["eyerg"], p["eyergt"]))
+                + perceptual_loss(feats, p["mouthg"], p["mouthgt"])
+                + perceptual_loss(feats, p["noseg"], p["nosegt"])
+            ).astype(jnp.float32)
 
         loss_l1 = loss_l1 * 5.0
         loss_adv = loss_adv * 0.1

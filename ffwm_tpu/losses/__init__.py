@@ -6,7 +6,7 @@ from ffwm_tpu.losses.affine import (
 )
 from ffwm_tpu.losses.correctness import CORRECTNESS_LAYERS, correctness_loss
 from ffwm_tpu.losses.gan import gan_loss
-from ffwm_tpu.losses.identity import identity_loss
+from ffwm_tpu.losses.identity import identity_loss, identity_loss_pair
 from ffwm_tpu.losses.illumination import MSL1_WEIGHTS, illumination_loss
 from ffwm_tpu.losses.landmark import (
     MULTISCALE_LD_WEIGHTS,
@@ -18,6 +18,7 @@ from ffwm_tpu.losses.perceptual import (
     PERCEPTUAL_WEIGHTS,
     l1,
     perceptual_loss,
+    perceptual_loss_grouped,
     style_loss,
     vgg_loss,
 )
@@ -32,12 +33,14 @@ __all__ = [
     "correctness_loss",
     "gan_loss",
     "identity_loss",
+    "identity_loss_pair",
     "illumination_loss",
     "l1",
     "landmark_loss",
     "multi_affine_regularization_loss",
     "multiscale_landmark_loss",
     "perceptual_loss",
+    "perceptual_loss_grouped",
     "style_loss",
     "vgg_loss",
 ]

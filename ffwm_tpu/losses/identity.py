@@ -41,3 +41,40 @@ def identity_loss(
     fc_gt = jax.lax.stop_gradient(fc_gt)
     pool_gt = jax.lax.stop_gradient(pool_gt)
     return jnp.mean(jnp.abs(fc_out - fc_gt)) + jnp.mean(jnp.abs(pool_out - pool_gt))
+
+
+def identity_loss_pair(
+    lightcnn: LightCNNFn,
+    out_a: jax.Array,
+    out_b: jax.Array,
+    gt: jax.Array,
+    crop: bool = False,
+    weights: Tuple[float, float] = (0.5, 1.0),
+) -> jax.Array:
+    """``weights[0]*identity_loss(out_a, gt) + weights[1]*identity_loss(
+    out_b, gt)`` with both differentiated branches batched through ONE
+    LightCNN application (and the detached GT through one more) — the
+    reference's raw x0.5 + GF x1 pair (models/ffwm_model.py:120-122).
+
+    LightCNN is frozen and batch-invariant (convs + mfm max units, no batch
+    statistics), so the values are identical to two separate calls; the
+    2x-batch application just utilizes the MXU better (the per-family
+    train-step profile showed the identity family at 2.8x its FLOP floor
+    with narrow per-call batches — BASELINE.md round-3)."""
+    if crop:
+        out_a = _center_crop(out_a)
+        out_b = _center_crop(out_b)
+        gt = _center_crop(gt)
+    b = out_a.shape[0]
+    _, fc, pool = lightcnn(
+        jnp.concatenate([grayscale(out_a), grayscale(out_b)], axis=0))
+    _, fc_gt, pool_gt = lightcnn(jax.lax.stop_gradient(grayscale(gt)))
+    fc_gt = jax.lax.stop_gradient(fc_gt)
+    pool_gt = jax.lax.stop_gradient(pool_gt)
+
+    def one(fc_x, pool_x):
+        return (jnp.mean(jnp.abs(fc_x - fc_gt))
+                + jnp.mean(jnp.abs(pool_x - pool_gt)))
+
+    return (weights[0] * one(fc[:b], pool[:b])
+            + weights[1] * one(fc[b:], pool[b:]))

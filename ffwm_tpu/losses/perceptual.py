@@ -45,6 +45,34 @@ def perceptual_loss(
     return loss
 
 
+def perceptual_loss_grouped(
+    feats: FeatFn,
+    xs: Sequence[jax.Array],
+    ys: Sequence[jax.Array],
+    group_weights: Sequence[float],
+    layers: Sequence[str] = PERCEPTUAL_LAYERS,
+    weights: Sequence[float] = PERCEPTUAL_WEIGHTS,
+) -> jax.Array:
+    """``sum_i group_weights[i] * perceptual_loss(xs[i], ys[i])`` for
+    same-shaped pairs, with all generated crops batched through ONE VGG
+    application and all detached targets through one more (the reference's
+    facial-part loss runs 8 separate VGG forwards on 32x32 crops,
+    models/ffwm_model.py:126-131 — tiny batches that underfill the MXU;
+    VGG is frozen and batch-invariant so the values are unchanged)."""
+    n = len(xs)
+    b = xs[0].shape[0]
+    fx = feats(jnp.concatenate(list(xs), axis=0))
+    fy = feats(jax.lax.stop_gradient(jnp.concatenate(list(ys), axis=0)))
+    loss = jnp.asarray(0.0, jnp.float32)
+    for layer, w in zip(layers, weights):
+        ax = fx[layer]
+        ay = jax.lax.stop_gradient(fy[layer])
+        for i, gw in enumerate(group_weights):
+            loss = loss + (gw * w) * l1(ax[i * b:(i + 1) * b],
+                                        ay[i * b:(i + 1) * b])
+    return loss
+
+
 def _gram(x: jax.Array) -> jax.Array:
     """Gram matrix of an NHWC feature map: [B, C, C] / (H*W*C)."""
     b, h, w, c = x.shape

@@ -305,6 +305,62 @@ grid_sample_vmem.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
+# GSPMD partitioning of the warp kernel: the pallas_call grid iterates
+# (batch item, pixel block) with per-batch-item independence, so under a
+# multi-device mesh the correct SPMD strategy is "shard batch, replicate
+# every other dimension, run the kernel on the local shard" — which XLA
+# cannot infer for a custom call (round-2 advice: sharded eval had to fall
+# back to the XLA warp on >1-device meshes). custom_partitioning declares
+# it: the Shardy sharding_rule marks batch as the only shardable factor and
+# the partition callable re-emits the kernel on per-shard shapes.
+# ---------------------------------------------------------------------------
+
+
+def _make_sharded_forward(interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    @functools.partial(custom_partitioning, static_argnums=(2,))
+    def cp(image, grid, align_corners):
+        return _forward(image, grid, align_corners, interpret=interpret)
+
+    def _batch_only(mesh, sharding):
+        spec = tuple(getattr(sharding, "spec", ()) or ())
+        b = spec[0] if spec else None
+        return NamedSharding(mesh, PartitionSpec(b, None, None, None))
+
+    def partition(align_corners, mesh, arg_shapes, result_shape):
+        del result_shape
+        out_sh = _batch_only(mesh, arg_shapes[0].sharding)
+
+        def lower_fn(image, grid):
+            return _forward(image, grid, align_corners, interpret=interpret)
+
+        return (mesh, lower_fn, out_sh,
+                (out_sh, _batch_only(mesh, arg_shapes[1].sharding)))
+
+    def infer_sharding_from_operands(align_corners, mesh, arg_shapes,
+                                     result_shape):
+        del result_shape
+        return _batch_only(mesh, arg_shapes[0].sharding)
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule="b h w c, b i j t -> b i j c",
+        need_replication_factors=("h", "w", "c", "i", "j", "t"),
+    )
+    return cp
+
+
+#: Batch-sharding-aware kernel forward (TPU compiled / CPU interpret). The
+#: interpret variant exists so the partitioning rule is testable on the
+#: virtual CPU mesh (tests/test_parallel.py) where Mosaic cannot compile.
+grid_sample_vmem_sharded = _make_sharded_forward(False)
+grid_sample_vmem_sharded_interpret = _make_sharded_forward(True)
+
+
+# ---------------------------------------------------------------------------
 # resample2d on the same window-dump machinery: with the live configuration
 # (kernel_size=4, dilation=1 — reference models/losses.py:329) the
 # (kernel/2)^2 groups of 4 taps form one contiguous 4x4 window at

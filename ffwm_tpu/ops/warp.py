@@ -214,9 +214,14 @@ def _patch_forward(image: jax.Array, grid: jax.Array, align_corners: bool,
     training, see _MOSAIC_WARP)."""
     if (use_mosaic and image.shape[3] <= 128
             and grid.shape[1] * grid.shape[2] == image.shape[1] * image.shape[2]):
-        from ffwm_tpu.ops.kernels.warp_vmem_pallas import _forward as _vmem_fwd
+        from ffwm_tpu.ops.kernels.warp_vmem_pallas import (
+            grid_sample_vmem_sharded,
+        )
 
-        return _vmem_fwd(image, grid, align_corners)
+        # the custom_partitioning wrapper shards the kernel over the batch
+        # axis under a multi-device mesh (and is transparent single-device),
+        # so sharded eval keeps the kernel instead of falling back to XLA
+        return grid_sample_vmem_sharded(image, grid, align_corners)
     return _grid_sample_patch(image, grid, align_corners)
 
 

@@ -96,21 +96,12 @@ def main():
     gen_vars = replicate(gen_vars, mesh)
     lc_vars = replicate(lc_vars, mesh)
 
-    infer_impl = make_ffwm_inference(
+    # The Mosaic warp kernel carries a GSPMD custom-partitioning spec
+    # (batch-sharded, everything else replicated — warp_vmem_pallas
+    # grid_sample_vmem_sharded), so sharded eval keeps the kernel on
+    # multi-device meshes; no XLA-warp fallback needed.
+    infer = make_ffwm_inference(
         models, dtype=jnp.bfloat16 if opt.bf16 else jnp.float32)
-    if n_dev > 1:
-        # the Mosaic warp kernel has no GSPMD partitioning spec yet: on a
-        # >1-device mesh it would force replication/all-gather of the warp
-        # operands (or fail to lower). Trace with the XLA warp instead —
-        # sharding-transparent, and the single-chip kernel path is what the
-        # bench measures.
-        from ffwm_tpu.ops.warp import disable_mosaic_warp
-
-        def infer(*args):
-            with disable_mosaic_warp():
-                return infer_impl(*args)
-    else:
-        infer = infer_impl
 
     @jax.jit
     def identity_feature(lc_vars, img):

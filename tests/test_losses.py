@@ -242,3 +242,55 @@ def test_perceptual_loss_weights(rng):
     base = float(jnp.mean(jnp.abs(x - y)))
     expect = base * (1 * 1 + 0.5 * 2 + 0.25 * 3 + 0.25 * 4 + 0.125 * 5)
     np.testing.assert_allclose(float(perceptual_loss(feats, x, y)), expect, rtol=1e-5)
+
+
+def test_identity_loss_pair_matches_separate(rng):
+    """Batched 2B-application identity pair == weighted sum of two separate
+    identity_loss calls (LightCNN is batch-invariant; engine default
+    batch_frozen=True relies on this)."""
+    from ffwm_tpu.losses.identity import identity_loss_pair
+    from ffwm_tpu.models import LightCNN29
+
+    model = LightCNN29(num_classes=11)
+    x = jnp.asarray(rng.rand(1, 128, 128, 1).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    lcnn = lambda img: model.apply(variables, img)
+
+    a = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32))
+    gt = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32))
+    paired = float(identity_loss_pair(lcnn, a, b, gt, weights=(0.5, 1.0)))
+    separate = float(0.5 * identity_loss(lcnn, a, gt)
+                     + 1.0 * identity_loss(lcnn, b, gt))
+    np.testing.assert_allclose(paired, separate, rtol=1e-5)
+
+    # both generated branches carry gradient; GT stays detached
+    g_gt = jax.grad(lambda g: identity_loss_pair(lcnn, a, b, g))(gt)
+    np.testing.assert_allclose(np.asarray(g_gt), 0.0, atol=0)
+    g_a = jax.grad(lambda t: identity_loss_pair(lcnn, t, b, gt))(a)
+    g_b = jax.grad(lambda t: identity_loss_pair(lcnn, a, t, gt))(b)
+    assert float(jnp.abs(g_a).max()) > 0 and float(jnp.abs(g_b).max()) > 0
+
+
+def test_perceptual_loss_grouped_matches_separate(rng):
+    """One 4B-batch VGG application per side == 4 separate perceptual_loss
+    calls with the facial-part group weights (engine batch_frozen path)."""
+    from ffwm_tpu.losses.perceptual import perceptual_loss_grouped
+
+    feats = lambda img: {
+        "relu1_1": img, "relu2_1": img * 2, "relu3_1": img ** 2,
+        "relu4_1": img * 4, "relu5_1": img * 5,
+    }
+    xs = [jnp.asarray(rng.rand(2, 8, 8, 3).astype(np.float32))
+          for _ in range(4)]
+    ys = [jnp.asarray(rng.rand(2, 8, 8, 3).astype(np.float32))
+          for _ in range(4)]
+    gws = (2.0, 2.0, 1.0, 1.0)
+    grouped = float(perceptual_loss_grouped(feats, xs, ys, gws))
+    separate = float(sum(g * perceptual_loss(feats, x, y)
+                         for g, x, y in zip(gws, xs, ys)))
+    np.testing.assert_allclose(grouped, separate, rtol=1e-5)
+
+    g_y = jax.grad(
+        lambda t: perceptual_loss_grouped(feats, xs, [t] + ys[1:], gws))(ys[0])
+    np.testing.assert_allclose(np.asarray(g_y), 0.0, atol=0)

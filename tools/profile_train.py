@@ -96,7 +96,7 @@ def main():
     want = set(sys.argv[1:]) or {"full"}
     if "all" in want:
         want = ({"full", "remat_off", "bf16", "bf16_remat_off", "b16",
-                 "bf16_b16", "d_only", "fwd_only"}
+                 "bf16_b16", "d_only", "fwd_only", "unbatched_frozen"}
                 | {f"no_{f}" for f in ALL_FAMS})
 
     from ffwm_tpu.engine import make_ffwm_train_step
@@ -131,6 +131,13 @@ def main():
         report("d_pass+fwd only",
                time_step(step, fresh_state(), batch, frozen, key="loss_D"),
                b, base)
+
+    if "unbatched_frozen" in want:
+        # per-branch frozen-net applications like the reference call
+        # structure (production default batches them, batch_frozen=True)
+        step = make_ffwm_train_step(models, txs, batch_frozen=False)
+        report("unbatched_frozen",
+               time_step(step, fresh_state(), batch, frozen), b, base)
 
     if "remat_off" in want:
         step = make_ffwm_train_step(models, txs, remat_frozen=False)

@@ -31,6 +31,45 @@ def collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
     return out
 
 
+def device_prefetch(iterable, place, depth: int = 2):
+    """Yield ``place(item)`` for each item, running ``place`` (typically
+    pad + ``shard_batch``, i.e. the H2D transfer) on a background thread
+    ``depth`` items ahead — so host->device copies overlap device compute
+    instead of serializing the step loop. The original item is yielded
+    alongside (``(item, placed)``) for host-side fields like file names.
+
+    The reference's torch DataLoader gets this for free from CUDA's async
+    H2D + pinned-memory workers; under JAX the transfer starts at
+    ``jax.device_put`` time, so starting it early is the whole trick.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for item in iterable:
+                if stop.is_set():
+                    return
+                q.put((item, place(item)))
+        except Exception as e:  # propagate to consumer
+            q.put(e)
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            got = q.get()
+            if got is None:
+                break
+            if isinstance(got, Exception):
+                raise got
+            yield got
+    finally:
+        stop.set()
+
+
 class DataLoader:
     """Iterates dict batches. max_dataset_size caps items per epoch like the
     reference CustomDatasetDataLoader (data/__init__.py:92-100)."""

@@ -55,30 +55,63 @@ def make_flow_train_step(
     tx: optax.GradientTransformation,
     reverse: bool = False,
     loss_weights: Tuple[float, float] = (20.0, 0.01),
+    compute_dtype=None,
 ):
     """Returns jitted step(state, batch, vgg_vars) -> (state, metrics).
 
     batch keys (already role-swapped for reverse mode by the data adapter):
       img_S, img_F [B,H,W,3]; lm_S, lm_F [B,580,2] int32; gate [B,580,2];
       mask [B,H,W,1].
+
+    compute_dtype: e.g. jnp.bfloat16 runs forward/backward compute in bf16
+    with fp32 master weights / Adam moments / BatchNorm stats — the casts
+    live inside the differentiated function (same recipe as the FFWM
+    trainer's --bf16 path), so gradients and updates stay fp32. None = fp32
+    (the parity configuration, tests/test_train_step_parity.py).
     """
     vgg = VGG19Features(max_layer="relu3_1")
     w_cor, w_reg = loss_weights
 
+    if compute_dtype is None:
+        cast = lambda t: t
+        to_f32 = lambda t: t
+    else:
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+        to_f32 = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+
     def loss_fn(params, extra, batch, vgg_vars):
-        net = NetState(params=params, extra=extra)
-        flow_in = batch["img_F"] if reverse else batch["img_S"]
+        net = NetState(params=cast(params), extra=cast(extra))
+        vgg_vars = cast(vgg_vars)
+        img_s, img_f, mask = cast((batch["img_S"], batch["img_F"],
+                                   batch["mask"]))
+        flow_in = img_f if reverse else img_s
         (f128, f64, f32), new_net = apply_mutable(model, net, flow_in, train=True)
 
         feats = lambda img: vgg.apply(vgg_vars, img)
         loss_cor = correctness_loss(
-            feats, batch["img_F"], batch["img_S"], [f32, f64, f128],
-            [2, 1, 0], norm_mask=batch["mask"],
-        ) * w_cor
-        loss_reg = multi_affine_regularization_loss([f32, f64, f128]) * w_reg
+            feats, img_f, img_s, [f32, f64, f128],
+            [2, 1, 0], norm_mask=mask,
+        ).astype(jnp.float32) * w_cor
+        # Precision split, measured per-variant on v5e (BASELINE.md round-3):
+        # the affine regularizer must see fp32 flows — it measures local
+        # affine DEVIATIONS ~50x smaller than the grid signal, and bf16's
+        # 2^-8 relative input quantization turns into ~30% loss error (the
+        # MXU accumulates fp32 either way; it's the input rounding). The
+        # landmark MSE on bf16 flows is exact to 4 digits (plain gathered
+        # values, no cancellation) and upcasting it was the expensive
+        # branch: all-fp32-losses 65.0 ms/step, all-bf16 31.5, this split
+        # 29.6 (vs 36.9 fp32) — the fastest AND the accurate one.
+        loss_reg = multi_affine_regularization_loss(
+            [to_f32(f) for f in (f32, f64, f128)]).astype(jnp.float32) * w_reg
         loss_lm = multiscale_landmark_loss(
-            [f128, f64, f32], batch["lm_S"], batch["lm_F"], batch["gate"])
+            [f128, f64, f32], batch["lm_S"], batch["lm_F"],
+            cast(batch["gate"])).astype(jnp.float32)
         loss = loss_cor + loss_reg + loss_lm
+        new_net = NetState(params=new_net.params, extra=to_f32(new_net.extra))
         metrics = {
             "loss": loss, "loss_cor": loss_cor,
             "loss_reg": loss_reg, "loss_lm": loss_lm,

@@ -66,7 +66,7 @@ def _static_blocks(grid_ch: jax.Array, kz: int, hp: int, wp: int) -> jax.Array:
 
 def _single_scale(grid_ch: jax.Array, kz: int) -> jax.Array:
     """grid_ch: one coordinate channel [B, H, W, 1]."""
-    weights = jnp.asarray(_affine_kernel(kz))
+    weights = jnp.asarray(_affine_kernel(kz)).astype(grid_ch.dtype)
     results = jax.lax.conv_general_dilated(
         grid_ch, weights, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

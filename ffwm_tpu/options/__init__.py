@@ -47,7 +47,11 @@ def base_parser(phase: str) -> argparse.ArgumentParser:
                    help="bfloat16 compute: eval runs the conv stacks in "
                         "bf16; the FFWM trainer runs forward/backward in "
                         "bf16 with fp32 master weights (-14%% step time; "
-                        "-22%% per image with --batch_size 16)")
+                        "-22%% per image with --batch_size 16); the flow "
+                        "trainer runs net+correctness in bf16 with the "
+                        "affine regularizer on fp32 flows (-19%% step "
+                        "time, see BASELINE.md). fp32 (default) is the "
+                        "parity configuration")
     p.add_argument("--no_remat", action="store_true",
                    help="keep the frozen VGG/LightCNN activations instead "
                         "of rematerializing them in the backward pass: a "

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ffwm_tpu.data import create_dataset
+from ffwm_tpu.data.loader import device_prefetch
 from ffwm_tpu.engine import build_models, make_ffwm_inference
 from ffwm_tpu.engine.checkpoint import exists, restore_tree
 from ffwm_tpu.losses.identity import _center_crop
@@ -133,19 +134,21 @@ def main():
         gallery_feas = np.asarray(gallery_feature(
             lc_vars, shard_batch(gpad, mesh)["g"]))[:n_gal]
 
-        metric = Rank1Meter()
-        n_done, t0 = 0, time.time()
-        for batch in loader:
-            files = batch["input_path"]
+        # Software-pipelined loop: H2D placement runs 2 batches ahead on a
+        # loader thread (device_prefetch) and the D2H fetch + host metric of
+        # batch k happen AFTER batch k+1's programs are dispatched, so the
+        # chip never idles on the host (the reference's bs=1 eval loop is
+        # fully serialized — test_ffwm.py:62-67).
+        def place(batch):
             imgs = {"img_S": batch["img_S"], "img_F": batch["img_F"]}
             imgs, bsz = pad_to_multiple(imgs, n_dev)
-            imgs = shard_batch(imgs, mesh)
-            out = infer(flow_vars, gen_vars, imgs["img_S"], imgs["img_F"])
-            # identity features on the still-padded (sharded) fakes; padded
-            # rows are dropped on the host before the metric sees them
-            feas = np.asarray(identity_feature(lc_vars, out["fake_F128"]))[:bsz]
+            return shard_batch(imgs, mesh), bsz
+
+        def process(pending):
+            batch, out, feas_dev, bsz = pending
+            files = batch["input_path"]
+            feas = np.asarray(feas_dev)[:bsz]
             metric.update(feas, files, gallery_feas, gallery_keys)
-            n_done += bsz
             for idx, name in enumerate(files):
                 if name in visual_list or (not visual_list and opt.save_image):
                     prefix = os.path.splitext(name)[0]
@@ -153,16 +156,31 @@ def main():
                         {"img_S": batch["img_S"], "img_F": batch["img_F"],
                          "fake_F128": np.asarray(out["fake_F128"])},
                         idx=idx, prefix=prefix)
+            return bsz
+
+        metric = Rank1Meter()
+        n_done, t0 = 0, time.time()
+        pending = None
+        for batch, (imgs, bsz) in device_prefetch(loader, place):
+            out = infer(flow_vars, gen_vars, imgs["img_S"], imgs["img_F"])
+            feas_dev = identity_feature(lc_vars, out["fake_F128"])
+            if pending is not None:
+                n_done += process(pending)
+            pending = (batch, out, feas_dev, bsz)
+        if pending is not None:
+            n_done += process(pending)
         dt = time.time() - t0
         print(f"processed {n_done} images in {dt:.1f}s "
               f"({n_done / max(dt, 1e-9):.1f} img/s)")
         vis.print_test_results(metric)
     else:  # lfw etc: dump images
-        for batch in loader:
-            files = batch["input_path"]
+        def place(batch):
             imgs = {"img_S": batch["img_S"], "img_F": batch["img_F"]}
             imgs, _ = pad_to_multiple(imgs, n_dev)
-            imgs = shard_batch(imgs, mesh)
+            return shard_batch(imgs, mesh)
+
+        for batch, imgs in device_prefetch(loader, place):
+            files = batch["input_path"]
             out = infer(flow_vars, gen_vars, imgs["img_S"], imgs["img_F"])
             for idx, name in enumerate(files):
                 prefix = os.path.splitext(name)[0]

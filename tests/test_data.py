@@ -106,3 +106,28 @@ def test_lightcnn_dataset(dataroot):
     assert 0 <= item["label"] < 3
     val = LightCNNDataset(dataroot, phase="test", seed=0)
     assert len(val.gallery_dict) == 2
+
+
+def test_device_prefetch_order_and_errors():
+    """device_prefetch: preserves order, yields (item, placed), propagates
+    producer exceptions, and stops cleanly on early exit."""
+    import pytest
+
+    from ffwm_tpu.data.loader import device_prefetch
+
+    items = list(range(10))
+    got = list(device_prefetch(items, lambda x: x * 2, depth=3))
+    assert got == [(i, 2 * i) for i in items]
+
+    def bad_place(x):
+        if x == 3:
+            raise ValueError("boom")
+        return x
+
+    with pytest.raises(ValueError, match="boom"):
+        list(device_prefetch(items, bad_place))
+
+    # early exit from the consumer doesn't hang the producer thread
+    it = device_prefetch(items, lambda x: x, depth=1)
+    assert next(it) == (0, 0)
+    it.close()

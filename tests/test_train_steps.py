@@ -75,6 +75,27 @@ def test_flow_train_step(flow_setup, rng):
     assert int(state3.step) == 2
 
 
+def test_flow_train_step_bf16_compute(flow_setup, rng):
+    """compute_dtype=bf16 on the flow step (train_flow.py --bf16): losses
+    finite and close to the fp32 step's, every state leaf (params, Adam
+    moments, BN stats) stays fp32."""
+    model, state, tx, vgg_vars = flow_setup
+    batch = _flow_batch(rng)
+    f32_state, f32_metrics = make_flow_train_step(model, tx)(
+        jax.tree.map(jnp.copy, state), batch, vgg_vars)
+    step = make_flow_train_step(model, tx, compute_dtype=jnp.bfloat16)
+    state2, metrics = step(jax.tree.map(jnp.copy, state), batch, vgg_vars)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+        assert np.asarray(v).dtype == np.float32, k
+    for path, leaf in jax.tree_util.tree_flatten_with_path(state2)[0]:
+        assert leaf.dtype != jnp.bfloat16, jax.tree_util.keystr(path)
+    # bf16 compute tracks the fp32 objective (throughput path, not parity)
+    rel = abs(float(metrics["loss"]) - float(f32_metrics["loss"])) / float(
+        f32_metrics["loss"])
+    assert rel < 0.05, rel
+
+
 def test_reverse_flow_training_semantics(flow_setup, rng):
     """Pin the --reverse double-handling: adapt_batch swaps S/F roles AND
     the step feeds batch['img_F'] (the original *profile*) to the flownet —

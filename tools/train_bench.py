@@ -19,10 +19,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp
 import numpy as np
 
-STEPS = 4
+STEPS = 16  # enough to amortize per-dispatch tunnel latency (~1 ms/step at 4)
 
 
-def bench_ffwm(batch=8, s=128):
+def bench_ffwm(batch=8, s=128, bf16=False):
     from ffwm_tpu.engine import (build_models, create_ffwm_train_state,
                                  make_ffwm_train_step)
 
@@ -32,7 +32,8 @@ def bench_ffwm(batch=8, s=128):
     lc = models.lightcnn.init(jax.random.PRNGKey(1), jnp.zeros((1, s, s, 1)))
     vgg = models.vgg.init(jax.random.PRNGKey(2), jnp.zeros((1, s, s, 3)))
     frozen = {"lightcnn": lc, "vgg": vgg}
-    step = make_ffwm_train_step(models, txs)
+    step = make_ffwm_train_step(
+        models, txs, compute_dtype=jnp.bfloat16 if bf16 else None)
     r = np.random.RandomState(0)
     batch_d = {
         "img_S": jnp.asarray(r.rand(batch, s, s, 3), jnp.float32),
@@ -48,11 +49,11 @@ def bench_ffwm(batch=8, s=128):
         state, m = step(state, batch_d, frozen)
     jax.device_get(m["loss_G"])
     dt = (time.perf_counter() - t0) / STEPS
-    print(f"ffwm train step b={batch}: {dt * 1e3:.1f} ms/step -> "
+    print(f"ffwm train step b={batch}{' bf16' if bf16 else ''}: {dt * 1e3:.1f} ms/step -> "
           f"{batch / dt:.1f} img/s", flush=True)
 
 
-def bench_flow(batch=6, s=128):
+def bench_flow(batch=6, s=128, bf16=False):
     from ffwm_tpu.engine import create_flow_train_state, make_flow_train_step
     from ffwm_tpu.models import VGG19Features
 
@@ -60,7 +61,8 @@ def bench_flow(batch=6, s=128):
                                                image_size=s)
     vgg = VGG19Features(max_layer="relu3_1")
     vgg_vars = vgg.init(jax.random.PRNGKey(1), jnp.zeros((1, s, s, 3)))
-    step = make_flow_train_step(model, tx)
+    step = make_flow_train_step(
+        model, tx, compute_dtype=jnp.bfloat16 if bf16 else None)
     r = np.random.RandomState(0)
     batch_d = {
         "img_S": jnp.asarray(r.rand(batch, s, s, 3), jnp.float32),
@@ -77,12 +79,21 @@ def bench_flow(batch=6, s=128):
         state, m = step(state, batch_d, vgg_vars)
     jax.device_get(m["loss"])
     dt = (time.perf_counter() - t0) / STEPS
-    print(f"flow train step b={batch}: {dt * 1e3:.1f} ms/step -> "
+    print(f"flow train step b={batch}{' bf16' if bf16 else ''}: {dt * 1e3:.1f} ms/step -> "
           f"{batch / dt:.1f} img/s", flush=True)
 
 
 if __name__ == "__main__":
     dev = jax.devices()[0]
     print(f"# device: {dev.platform} {dev.device_kind}", flush=True)
-    bench_flow()
-    bench_ffwm()
+    args = set(sys.argv[1:]) or {"flow", "ffwm"}
+    if "flow" in args:
+        bench_flow()
+    if "flow_bf16" in args:
+        bench_flow(bf16=True)
+    if "flow_bf16_b12" in args:
+        bench_flow(batch=12, bf16=True)
+    if "ffwm" in args:
+        bench_ffwm()
+    if "ffwm_bf16_b32" in args:
+        bench_ffwm(batch=32, bf16=True)

@@ -108,7 +108,12 @@ def main():
     vgg_vars = load_vgg(opt.vgg, opt.load_size)
     state = replicate(state, mesh)
     vgg_vars = replicate(vgg_vars, mesh)
-    step_fn = make_flow_train_step(model, tx, reverse=getattr(opt, "reverse", False))
+    # --bf16: bf16 compute with fp32 master weights/stats, like the FFWM
+    # trainer's bf16 path (the fp32 default is the parity configuration)
+    import jax.numpy as jnp
+    step_fn = make_flow_train_step(
+        model, tx, reverse=getattr(opt, "reverse", False),
+        compute_dtype=jnp.bfloat16 if opt.bf16 else None)
 
     vis = Visualizer(opt.name, opt.checkpoints_dir, phase="train",
                      tensorboard=opt.display_id > 0)

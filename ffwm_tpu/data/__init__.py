@@ -9,7 +9,8 @@ def create_dataset(dataroot: str, datamode: str = "multipie",
                    phase: str = "train", batch_size: int = 8,
                    load_size: int = 128, aug: bool = False,
                    preload: bool = False, num_threads: int = 4,
-                   max_dataset_size=None, shuffle=None, seed=None) -> DataLoader:
+                   max_dataset_size=None, shuffle=None, seed=None,
+                   process_shard=None) -> DataLoader:
     """Registry-style entry (reference data/__init__.py:49-60): build the
     dataset + loader for a phase. Validation loaders don't shuffle."""
     ds = FaceDataset(dataroot, datamode=datamode, phase=phase,
@@ -23,6 +24,7 @@ def create_dataset(dataroot: str, datamode: str = "multipie",
         drop_last=is_train,
         max_dataset_size=max_dataset_size,
         seed=seed,
+        process_shard=process_shard,
     )
 
 

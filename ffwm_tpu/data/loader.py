@@ -77,7 +77,8 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int = 8, shuffle: bool = True,
                  num_threads: int = 4, drop_last: bool = False,
                  max_dataset_size: Optional[int] = None,
-                 prefetch: int = 2, seed: Optional[int] = None):
+                 prefetch: int = 2, seed: Optional[int] = None,
+                 process_shard: Optional[tuple] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -86,9 +87,27 @@ class DataLoader:
         self.max_dataset_size = max_dataset_size or float("inf")
         self.prefetch = prefetch
         self.rng = np.random.RandomState(seed)
+        # (rank, count) for multi-host training: every process builds the
+        # SAME permutation (callers must pass the same integer seed on all
+        # hosts) and takes the rank-th stride, truncated to the common
+        # length — hosts see disjoint data and identical epoch lengths (a
+        # one-item mismatch would desynchronize the collectives).
+        self.process_shard = process_shard
+        if process_shard is not None and seed is None and shuffle:
+            raise ValueError(
+                "process_shard with shuffle requires an explicit seed: all "
+                "hosts must build the same permutation to partition it")
+
+    def _process_slice(self, idx: np.ndarray) -> np.ndarray:
+        if self.process_shard is None:
+            return idx
+        rank, count = self.process_shard
+        return idx[rank::count][:len(idx) // count]
 
     def __len__(self) -> int:
         n = min(len(self.dataset), self.max_dataset_size)
+        if self.process_shard is not None:
+            n = int(n) // self.process_shard[1]
         if self.drop_last:
             return int(n // self.batch_size)
         return int(-(-n // self.batch_size))
@@ -98,6 +117,8 @@ class DataLoader:
         idx = np.arange(n)
         if self.shuffle:
             self.rng.shuffle(idx)
+        idx = self._process_slice(idx)
+        n = len(idx)
         batches = [idx[i:i + self.batch_size] for i in range(0, n, self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()

@@ -52,6 +52,13 @@ def base_parser(phase: str) -> argparse.ArgumentParser:
                         "affine regularizer on fp32 flows (-19%% step "
                         "time, see BASELINE.md). fp32 (default) is the "
                         "parity configuration")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() at startup "
+                        "(TPU pods auto-detect coordinator/topology). "
+                        "--batch_size stays the GLOBAL batch: each host "
+                        "loads a disjoint 1/n_process slice per epoch and "
+                        "the collectives ride ICI/DCN. Checkpoints/logs "
+                        "are written by process 0")
     p.add_argument("--no_remat", action="store_true",
                    help="keep the frozen VGG/LightCNN activations instead "
                         "of rematerializing them in the backward pass: a "

@@ -42,12 +42,36 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
     One device_put call for the whole tree — jax batches the transfers
     (per-leaf puts pay per-call dispatch overhead).
+
+    Multi-host: each process passes its LOCAL shard (global_batch /
+    process_count rows — the loader's ``process_shard`` slicing produces
+    exactly that) and the global array is assembled from the per-process
+    parts; the global batch dimension is local_rows * process_count.
     """
-    return jax.device_put(batch, batch_sharding(mesh))
+    sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        nproc = jax.process_count()
+
+        def put(x):
+            gshape = (x.shape[0] * nproc,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sh, x, gshape)
+
+        return jax.tree.map(put, batch)
+    return jax.device_put(batch, sh)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (params/optimizer state) across the mesh."""
+    """Replicate a pytree (params/optimizer state) across the mesh.
+
+    Multi-host: every process must hold the same host values (trainers
+    guarantee this: same PRNG seed, or a checkpoint all hosts read); the
+    values are assembled into process-spanning replicated arrays.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            tree, mesh, P())
     return jax.device_put(tree, replicated(mesh))
 
 

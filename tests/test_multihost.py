@@ -18,6 +18,18 @@ import sys
 
 import pytest
 
+from ffwm_tpu.data.synthetic import make_synthetic_multipie
+
+
+@pytest.fixture(scope="module")
+def dataroot(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mhdata")
+    # 16 items/epoch after the mirror-double; 8 per host at global b=8
+    make_synthetic_multipie(str(root), n_ids=4, cameras=("051", "050", "090"),
+                            size=64)
+    return str(root)
+
+
 WORKER = r"""
 import os, sys
 proc_id = int(sys.argv[1]); coord = sys.argv[2]
@@ -76,3 +88,92 @@ def test_two_process_host_array_and_allreduce(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"proc {i} OK" in out, out
+
+
+TRAIN_WORKER = r"""
+import os, sys
+proc_id = int(sys.argv[1]); coord = sys.argv[2]
+dataroot = sys.argv[3]; ckpt = sys.argv[4]; cache = sys.argv[5]
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count=4"
+    # single-core box: the peer may be tracing/compiling for minutes --
+    # don't let a stuck collective terminate before it arrives
+    " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+    " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=proc_id)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# Establish the cross-process gloo communicator NOW, while both processes
+# are still in sync (just past import): the communicator rendezvous has a
+# hard 30s key-value timeout that single-core compile/trace skew would
+# blow. It is cached per global-device set, so it must be created with the
+# SAME 8-device data mesh the train step uses (a sync_global_devices
+# barrier builds a different communicator and does not help -- measured).
+import numpy as np
+from ffwm_tpu.parallel import make_host_array, make_mesh
+_mesh = make_mesh()
+_warm = make_host_array((8, 1), _mesh, np.ones((4, 1), np.float32))
+_s = float(jax.device_get(jax.jit(lambda x: x.sum())(_warm)))
+assert _s == 8.0, _s
+print(f"proc {proc_id} gloo communicator warm")
+import train_flow
+sys.argv = ["train_flow.py", "--dataroot", dataroot, "--name", "mh",
+            "--checkpoints_dir", ckpt, "--batch_size", "8",
+            "--load_size", "64", "--niter", "1", "--niter_decay", "0",
+            "--max_dataset_size", "16", "--seed", "0", "--print_freq", "8"]
+train_flow.main()
+print(f"proc {proc_id} TRAIN OK")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_flow_training_cli(tmp_path, dataroot):
+    """The REAL multi-host path end-to-end: train_flow.py in two OS
+    processes (4 virtual CPU devices each -> one 8-device global mesh),
+    global batch 8 = 4 images/host from disjoint epoch slices, gradient
+    all-reduce across processes, chief-only checkpointing. This is the
+    production pattern for TPU pods (--multihost; here the workers call
+    jax.distributed.initialize with an explicit coordinator because there
+    is no pod metadata service on CPU)."""
+    worker = tmp_path / "train_worker.py"
+    worker.write_text(TRAIN_WORKER)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from conftest import _host_cache_dir  # same host-scoped cache as the suite
+
+    cache = _host_cache_dir(os.path.join(repo, ".jax_cache"))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = repo
+    ckpt = str(tmp_path / "ck")
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), coord, dataroot, ckpt, cache],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        cwd=repo, env=env, text=True) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1500)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
+        assert f"proc {i} TRAIN OK" in out, out[-2000:]
+        assert "multi-host: 2 processes" in out, out[-2000:]
+    # chief-only checkpointing: the loss log and checkpoints exist once
+    assert os.path.isdir(os.path.join(ckpt, "mh", "latest_net_flowNet.ckpt"))
+    assert os.path.isdir(os.path.join(ckpt, "mh", "latest_state.ckpt"))
+    # rank-1 printed per-epoch summary only on the chief
+    assert "End of epoch" in outs[0]
+    assert "End of epoch" not in outs[1]

@@ -72,19 +72,32 @@ def main():
     parser = train_parser("ffwm")
     parser.set_defaults(name="ffwm")
     opt = parser.parse_args()
+    if opt.multihost:
+        jax.distributed.initialize()  # TPU pods auto-detect coordinates
     print_and_save(opt, "train")
 
     mesh = make_mesh()
     n_dev = len(mesh.devices.flatten())
+    rank, nproc = jax.process_index(), jax.process_count()
+    is_chief = rank == 0
     print(f"mesh: {n_dev} device(s)")
     check_batch_divisible(opt.batch_size, n_dev)
+    # multi-host: --batch_size stays the GLOBAL batch; each process loads a
+    # disjoint 1/nproc slice of the (identically seeded) shuffled epoch and
+    # shard_batch assembles the global arrays from the per-host parts.
+    local_bs = opt.batch_size // nproc
+    drop_mult = n_dev // nproc  # per-host divisibility for drop_remainder
+    if nproc > 1:
+        print(f"multi-host: {nproc} processes, rank {rank}, "
+              f"{local_bs} images/host")
 
     loader = create_dataset(opt.dataroot, datamode=opt.datamode, phase="train",
-                            batch_size=opt.batch_size, load_size=opt.load_size,
+                            batch_size=local_bs, load_size=opt.load_size,
                             aug=opt.aug, preload=opt.preload,
                             num_threads=opt.num_threads,
                             max_dataset_size=opt.max_dataset_size,
-                            shuffle=not opt.serial_batches, seed=opt.seed)
+                            shuffle=not opt.serial_batches, seed=opt.seed,
+                            process_shard=(rank, nproc) if nproc > 1 else None)
     print(f"The number of training images = {len(loader.dataset)}")
 
     models = build_models()
@@ -169,7 +182,7 @@ def main():
             t_data = time.time() - t_data_mark
             fb = {k: batch[k] for k in
                   ("img_S", "img_F", "lm_F", "mask_S", "mask_F")}
-            fb = drop_remainder(fb, n_dev)
+            fb = drop_remainder(fb, drop_mult)
             if fb is None:
                 t_data_mark = time.time()
                 continue
@@ -179,11 +192,17 @@ def main():
             state, metrics = step_fn(state, fb, frozen)
             epoch_losses.append(metrics["loss_G"])
             total_iters += opt.batch_size
-            if total_iters % opt.print_freq < opt.batch_size:
+            if is_chief and total_iters % opt.print_freq < opt.batch_size:
                 metrics = jax.device_get(metrics)
                 vis.print_current_losses(epoch, total_iters, metrics,
                                          time.time() - t0, t_data)
-            if total_iters % opt.display_freq < opt.batch_size and last_batch is not None:
+            # periodic visuals: single-host only — infer_fn runs on the
+            # globally-sharded batch, so a chief-only call would leave the
+            # other hosts out of a global program (deadlock), and its output
+            # isn't fully addressable on one host to device_get. Multi-host
+            # runs monitor via the loss log; visuals come from eval runs.
+            if (nproc == 1 and total_iters % opt.display_freq < opt.batch_size
+                    and last_batch is not None):
                 out = jax.device_get(infer_fn(
                     state.flow_f.variables, state.gen.variables,
                     last_batch["img_S"], last_batch["img_F"]))
@@ -197,8 +216,13 @@ def main():
 
         if plateau is not None and epoch_losses:
             plateau.update(float(np.mean(jax.device_get(epoch_losses))))
-        print(f"End of epoch {epoch} / {opt.niter + opt.niter_decay}\t"
-              f"Time: {time.time() - epoch_start:.0f}s\tlr_G: {lr_g:.2e}")
+        if is_chief:
+            print(f"End of epoch {epoch} / {opt.niter + opt.niter_decay}\t"
+                  f"Time: {time.time() - epoch_start:.0f}s\tlr_G: {lr_g:.2e}")
+        # orbax checkpointing is a COLLECTIVE in multi-process runs (it
+        # syncs processes internally; the primary host writes the data), so
+        # EVERY host calls save_tree — only logs and .pth exports are
+        # chief-only (see train_flow.py for the measured deadlock).
         host_state = jax.device_get(state)
         for net, tag in (("gen", "netG"), ("disc", "netD"),
                          ("flow_f", "flowNetF"), ("flow_b", "flowNetB")):
@@ -206,15 +230,17 @@ def main():
                       getattr(host_state, net).variables)
         save_tree(opt.checkpoints_dir, opt.name, "latest_state", host_state)
         if epoch % opt.save_epoch_freq == 0:
-            print(f"saving the model at the end of epoch {epoch}, "
-                  f"iters {total_iters}")
+            if is_chief:
+                print(f"saving the model at the end of epoch {epoch}, "
+                      f"iters {total_iters}")
             save_tree(opt.checkpoints_dir, opt.name, f"{epoch}_state", host_state)
-            save_pth(host_state.gen.variables, "ffwm",
-                     os.path.join(opt.checkpoints_dir, opt.name,
-                                  f"{epoch}_net_netG.pth"))
-            save_pth(host_state.flow_f.variables, "flownet",
-                     os.path.join(opt.checkpoints_dir, opt.name,
-                                  f"{epoch}_net_flowNetF.pth"))
+            if is_chief:
+                save_pth(host_state.gen.variables, "ffwm",
+                         os.path.join(opt.checkpoints_dir, opt.name,
+                                      f"{epoch}_net_netG.pth"))
+                save_pth(host_state.flow_f.variables, "flownet",
+                         os.path.join(opt.checkpoints_dir, opt.name,
+                                      f"{epoch}_net_flowNetF.pth"))
 
 
 if __name__ == "__main__":

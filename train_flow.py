@@ -80,19 +80,32 @@ def main():
                         help="VGG19 .pth state_dict for the correctness loss")
     parser.set_defaults(model="flownet", batch_size=6, name="flownet")
     opt = parser.parse_args()
+    if opt.multihost:
+        jax.distributed.initialize()  # TPU pods auto-detect coordinates
     print_and_save(opt, "train")
 
     mesh = make_mesh()
     n_dev = len(mesh.devices.flatten())
+    rank, nproc = jax.process_index(), jax.process_count()
+    is_chief = rank == 0
     print(f"mesh: {n_dev} device(s): {mesh}")
     check_batch_divisible(opt.batch_size, n_dev)
+    # multi-host: --batch_size stays the GLOBAL batch; each process loads a
+    # disjoint 1/nproc slice of the (identically seeded) shuffled epoch and
+    # shard_batch assembles the global arrays from the per-host parts.
+    local_bs = opt.batch_size // nproc
+    drop_mult = n_dev // nproc  # per-host divisibility for drop_remainder
+    if nproc > 1:
+        print(f"multi-host: {nproc} processes, rank {rank}, "
+              f"{local_bs} images/host")
 
     loader = create_dataset(opt.dataroot, datamode=opt.datamode, phase="train",
-                            batch_size=opt.batch_size, load_size=opt.load_size,
+                            batch_size=local_bs, load_size=opt.load_size,
                             aug=opt.aug, preload=opt.preload,
                             num_threads=opt.num_threads,
                             max_dataset_size=opt.max_dataset_size,
-                            shuffle=not opt.serial_batches, seed=opt.seed)
+                            shuffle=not opt.serial_batches, seed=opt.seed,
+                            process_shard=(rank, nproc) if nproc > 1 else None)
     print(f"The number of training images = {len(loader.dataset)}")
 
     model, state, tx = create_flow_train_state(
@@ -136,7 +149,7 @@ def main():
         for batch in loader:
             t_data = time.time() - t_data_mark
             ab = adapt_batch(batch, getattr(opt, "reverse", False))
-            ab = drop_remainder(ab, n_dev)
+            ab = drop_remainder(ab, drop_mult)
             if ab is None:
                 t_data_mark = time.time()
                 continue
@@ -145,7 +158,7 @@ def main():
             state, metrics = step_fn(state, ab, vgg_vars)
             epoch_losses.append(metrics["loss"])
             total_iters += opt.batch_size
-            if total_iters % opt.print_freq < opt.batch_size:
+            if is_chief and total_iters % opt.print_freq < opt.batch_size:
                 metrics = jax.device_get(metrics)
                 vis.print_current_losses(epoch, total_iters, metrics,
                                          time.time() - t0, t_data)
@@ -153,20 +166,28 @@ def main():
         if plateau is not None and epoch_losses:
             plateau.update(float(np.mean(jax.device_get(epoch_losses))))
 
-        print(f"End of epoch {epoch} / {opt.niter + opt.niter_decay}\t"
-              f"Time: {time.time() - epoch_start:.0f}s\tlr: {lr:.2e}")
+        if is_chief:
+            print(f"End of epoch {epoch} / {opt.niter + opt.niter_decay}\t"
+                  f"Time: {time.time() - epoch_start:.0f}s\tlr: {lr:.2e}")
+        # orbax checkpointing is a COLLECTIVE in multi-process runs (it
+        # syncs processes internally; the primary host writes the data), so
+        # EVERY host calls save_tree — only logs and the .pth export are
+        # chief-only. Chief-gating the saves deadlocks the other hosts'
+        # next collective (measured: gloo /0,2048/1 rendezvous timeout).
         net_vars = jax.device_get(state.net.variables)
         save_tree(opt.checkpoints_dir, opt.name, "latest_net_flowNet", net_vars)
         save_tree(opt.checkpoints_dir, opt.name, "latest_state",
                   jax.device_get(state))
         if epoch % opt.save_epoch_freq == 0:
-            print(f"saving the model at the end of epoch {epoch}")
+            if is_chief:
+                print(f"saving the model at the end of epoch {epoch}")
             save_tree(opt.checkpoints_dir, opt.name, f"{epoch}_net_flowNet", net_vars)
             save_tree(opt.checkpoints_dir, opt.name, f"{epoch}_state",
                       jax.device_get(state))
-            save_pth(net_vars, "flownet",
-                     os.path.join(opt.checkpoints_dir, opt.name,
-                                  f"{epoch}_net_flowNet.pth"))
+            if is_chief:
+                save_pth(net_vars, "flownet",
+                         os.path.join(opt.checkpoints_dir, opt.name,
+                                      f"{epoch}_net_flowNet.pth"))
 
 
 if __name__ == "__main__":

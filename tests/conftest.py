@@ -80,3 +80,7 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "reference: parity tests that import /root/reference as oracle"
     )
+    config.addinivalue_line(
+        "markers", "slow: multi-minute tests (subprocess multi-host runs, "
+        "e2e CLI epochs) — deselect with -m 'not slow' for a quick pass"
+    )

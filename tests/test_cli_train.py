@@ -23,6 +23,7 @@ def dataroot(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_train_flow_cli(dataroot, tmp_path, monkeypatch):
     import train_flow
 
@@ -68,6 +69,7 @@ def test_exported_pth_reloads(dataroot, tmp_path, monkeypatch):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_train_ffwm_cli(dataroot, tmp_path, monkeypatch, capsys):
     """End-to-end main() of the flagship trainer (VERDICT r2 #4): pretrained
     flownet loading (orbax dir AND .pth), one epoch of sharded GAN steps,
@@ -123,6 +125,7 @@ def test_train_ffwm_cli(dataroot, tmp_path, monkeypatch, capsys):
     assert "resumed full train state from latest_state (titers=8)" in out
 
 
+@pytest.mark.slow
 def test_finetune_lightcnn_cli(dataroot, tmp_path, monkeypatch, capsys):
     """End-to-end main() of the LightCNN finetune CLI (VERDICT r2 #4): CE
     SGD epoch + rank-1 validation + checkpoint naming

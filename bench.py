@@ -31,25 +31,11 @@ import jax
 # persistent compile cache, in-repo so it survives across driver rounds:
 # the chained-scan program costs ~10 min to compile via the tunneled
 # remote-compile service; a committed cache makes the driver's cold bench
-# run execute-only. Host-fingerprint-scoped like tests/conftest.py — CPU
+# run execute-only. Host-fingerprint-scoped (ffwm_tpu.hostcache) — CPU
 # entries are host-ISA AOT artifacts that must not load on foreign hosts.
-import hashlib as _hashlib
+from ffwm_tpu.hostcache import configure_cache
 
-try:
-    with open("/proc/cpuinfo") as _f:
-        _feats = "none"
-        for _line in _f:
-            if _line.startswith("flags"):
-                _feats = " ".join(sorted(_line.split(":", 1)[1].split()))
-                break
-except OSError:
-    import platform as _platform
-    _feats = _platform.machine()
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache",
-                 "host-" + _hashlib.sha1(_feats.encode()).hexdigest()[:12]))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+configure_cache(os.path.dirname(os.path.abspath(__file__)))
 import jax.numpy as jnp
 import numpy as np
 

@@ -45,16 +45,29 @@ def device_prefetch(iterable, place, depth: int = 2):
     q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
     stop = threading.Event()
 
+    def put(obj):
+        # Bounded-wait put: if the consumer exits early (generator closed,
+        # exception mid-loop) the queue stays full and a bare q.put would
+        # block this thread forever, pinning depth+1 device-resident batches.
+        while not stop.is_set():
+            try:
+                q.put(obj, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for item in iterable:
                 if stop.is_set():
                     return
-                q.put((item, place(item)))
+                if not put((item, place(item))):
+                    return
         except Exception as e:  # propagate to consumer
-            q.put(e)
+            put(e)
         finally:
-            q.put(None)
+            put(None)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()

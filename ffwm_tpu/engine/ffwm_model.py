@@ -239,7 +239,11 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
         lcnn_fwd = jax.checkpoint(lcnn_fwd)
 
     def d_loss_fn(d_params, d_extra, gf128, img_f, mask_f):
-        disc = NetState(params=cast(d_params), extra=cast(d_extra))
+        # extras (BatchNorm running stats, spectral u/v) are NEVER cast:
+        # train-mode BN only writes them (fp32 EMA), and SpectralNorm casts
+        # sigma down in-layer — casting here would re-quantize the running
+        # state to bf16 every step (round-3 review finding).
+        disc = NetState(params=cast(d_params), extra=d_extra)
         gf128, img_f, mask_f = cast((gf128, img_f, mask_f))
         fake = jax.lax.stop_gradient(gf128) * mask_f
         pred_fake, disc = apply_mutable(models.disc, disc, fake, train=True)
@@ -250,8 +254,8 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
         return loss, NetState(params=disc.params, extra=to_f32(disc.extra))
 
     def g_loss_fn(gfb_params, extras, disc: NetState, batch, frozen, titers):
-        gfb_params, extras = cast(gfb_params), cast(extras)
-        disc = NetState(params=cast(disc.params), extra=cast(disc.extra))
+        gfb_params = cast(gfb_params)  # extras stay fp32 (see d_loss_fn)
+        disc = NetState(params=cast(disc.params), extra=disc.extra)
         batch = dict(batch, **cast({k: batch[k] for k in
                                     ("img_S", "img_F", "mask_S", "mask_F")}))
         frozen = cast(frozen)
@@ -369,7 +373,7 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
         # ---- G-side forward for the D update's fake (no grad; XLA CSEs the
         # primal against the G-grad recomputation below — in compute_dtype
         # mode both run the cast graph so the CSE still fires).
-        cf = lambda ns: NetState(params=cast(ns.params), extra=cast(ns.extra))
+        cf = lambda ns: NetState(params=cast(ns.params), extra=ns.extra)
         fwd, _ = _g_forward(models, cf(state.flow_f), cf(state.flow_b),
                             cf(state.gen), cast(img_s), cast(img_f),
                             batch["lm_F"])

@@ -84,7 +84,9 @@ def make_flow_train_step(
             if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
 
     def loss_fn(params, extra, batch, vgg_vars):
-        net = NetState(params=cast(params), extra=cast(extra))
+        # extras (BN running stats) stay fp32: train-mode BN only writes
+        # them; casting would re-quantize the EMA to bf16 every step.
+        net = NetState(params=cast(params), extra=extra)
         vgg_vars = cast(vgg_vars)
         img_s, img_f, mask = cast((batch["img_S"], batch["img_F"],
                                    batch["mask"]))

@@ -360,7 +360,10 @@ class SpectralNorm(nn.Module):
         u = jax.lax.stop_gradient(u)
         v = jax.lax.stop_gradient(v)
         sigma = jnp.dot(u, jnp.matmul(w_mat, v))
-        return kernel / sigma
+        # u/v stay fp32 under bf16 compute (master-precision state); cast
+        # sigma down so the normalized kernel keeps the kernel's dtype
+        # instead of silently promoting every SN conv to fp32.
+        return kernel / sigma.astype(kernel.dtype)
 
 
 def _l2norm(x, eps):

@@ -336,8 +336,11 @@ def _make_sharded_forward(interpret: bool):
         def lower_fn(image, grid):
             return _forward(image, grid, align_corners, interpret=interpret)
 
-        return (mesh, lower_fn, out_sh,
-                (out_sh, _batch_only(mesh, arg_shapes[1].sharding)))
+        # BOTH operands take the image's batch spec: if the caller sharded
+        # only one of them (or sharded them differently), GSPMD reshards the
+        # grid to match instead of handing lower_fn mismatched per-shard
+        # batch sizes (round-3 review finding).
+        return (mesh, lower_fn, out_sh, (out_sh, out_sh))
 
     def infer_sharding_from_operands(align_corners, mesh, arg_shapes,
                                      result_shape):

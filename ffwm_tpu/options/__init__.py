@@ -52,18 +52,6 @@ def base_parser(phase: str) -> argparse.ArgumentParser:
                         "affine regularizer on fp32 flows (-19%% step "
                         "time, see BASELINE.md). fp32 (default) is the "
                         "parity configuration")
-    p.add_argument("--multihost", action="store_true",
-                   help="call jax.distributed.initialize() at startup "
-                        "(TPU pods auto-detect coordinator/topology). "
-                        "--batch_size stays the GLOBAL batch: each host "
-                        "loads a disjoint 1/n_process slice per epoch and "
-                        "the collectives ride ICI/DCN. Checkpoints/logs "
-                        "are written by process 0")
-    p.add_argument("--no_remat", action="store_true",
-                   help="keep the frozen VGG/LightCNN activations instead "
-                        "of rematerializing them in the backward pass: a "
-                        "few %% faster when the batch fits HBM (b<=8 fp32, "
-                        "b<=16 bf16 on a 16 GB chip)")
     return p
 
 
@@ -86,10 +74,25 @@ def train_parser(model: str = "ffwm") -> argparse.ArgumentParser:
     p.add_argument("--datamode", type=str, default="multipie")
     p.add_argument("--aug", action="store_true",
                    help="random rotation augmentation")
+    # trainer-only flags (the eval/finetune CLIs don't implement multi-host
+    # or the remat knob; adding the flags there would silently ignore them)
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() at startup "
+                        "(TPU pods auto-detect coordinator/topology). "
+                        "--batch_size stays the GLOBAL batch: each host "
+                        "loads a disjoint 1/n_process slice per epoch and "
+                        "the collectives ride ICI/DCN. Checkpoints/logs "
+                        "are written by process 0")
     if model == "flownet":
         p.add_argument("--reverse", action="store_true",
                        help="train the reverse (frontal->profile) flow")
     else:
+        p.add_argument("--no_remat", action="store_true",
+                       help="keep the frozen VGG/LightCNN activations "
+                            "instead of rematerializing them in the "
+                            "backward pass: a few %% faster when the batch "
+                            "fits HBM (b<=8 fp32, b<=16 bf16 on a 16 GB "
+                            "chip)")
         p.add_argument("--flownetf", type=str,
                        default="./checkpoints/flownetf/4_net_flowNet",
                        help="pretrained forward flownet (orbax dir or .pth)")
@@ -119,10 +122,18 @@ def test_parser() -> argparse.ArgumentParser:
     return p
 
 
-def print_and_save(opt: argparse.Namespace, phase: str) -> None:
+def print_and_save(opt: argparse.Namespace, phase: str,
+                   chief: bool = True) -> None:
+    """Print the options block and snapshot it to <ckpt>/<phase>_opt.txt
+    (reference base_options.print_options). The opt.name suffix mutation
+    runs on every caller; the print and the file write are chief-only in
+    multi-host runs (pass chief=jax.process_index()==0) so N hosts don't
+    interleave writes to the shared checkpoints_dir."""
     if getattr(opt, "suffix", ""):
         suffix = ("_" + opt.suffix.format(**vars(opt)))
         opt.name = opt.name + suffix
+    if not chief:
+        return
     msg = "----------------- Options ---------------\n"
     for k, v in sorted(vars(opt).items()):
         msg += f"{k:>25}: {v}\n"

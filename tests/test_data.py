@@ -127,10 +127,20 @@ def test_device_prefetch_order_and_errors():
     with pytest.raises(ValueError, match="boom"):
         list(device_prefetch(items, bad_place))
 
-    # early exit from the consumer doesn't hang the producer thread
+    # early exit from the consumer doesn't hang the producer thread: with
+    # the queue full, a bare q.put would block it forever holding device
+    # buffers (round-3 review finding) — assert the thread actually exits
+    import threading
+    import time
+
+    before = threading.active_count()
     it = device_prefetch(items, lambda x: x, depth=1)
     assert next(it) == (0, 0)
     it.close()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
 
 
 def test_loader_process_shard(dataroot):

@@ -39,7 +39,8 @@ import jax
 jax.distributed.initialize(coordinator_address=coord, num_processes=2,
                            process_id=proc_id)
 import numpy as np
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# repo imports resolve via PYTHONPATH (the launcher sets it; this script
+# is written to a tmp dir, so __file__-relative paths would be junk)
 from ffwm_tpu.parallel import make_host_array, make_mesh
 
 assert jax.process_count() == 2, jax.process_count()
@@ -106,7 +107,8 @@ jax.config.update("jax_compilation_cache_dir", cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 jax.distributed.initialize(coordinator_address=coord, num_processes=2,
                            process_id=proc_id)
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# repo imports resolve via PYTHONPATH (the launcher sets it; this script
+# is written to a tmp dir, so __file__-relative paths would be junk)
 # Establish the cross-process gloo communicator NOW, while both processes
 # are still in sync (just past import): the communicator rendezvous has a
 # hard 30s key-value timeout that single-core compile/trace skew would

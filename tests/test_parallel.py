@@ -142,3 +142,10 @@ def test_mosaic_warp_kernel_partitions_over_batch(mesh, rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
     hlo = f.lower(img_s, grid_s).compile().as_text()
     assert "all-gather" not in hlo
+
+    # mismatched operand shardings (image sharded, grid replicated): the
+    # partition rule forces BOTH operands to the image's batch spec, so the
+    # kernel still sees matching per-shard batches (round-3 review finding)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    out2 = f(img_s, jax.device_put(grid, rep))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-6)

@@ -96,6 +96,42 @@ def test_flow_train_step_bf16_compute(flow_setup, rng):
     assert rel < 0.05, rel
 
 
+def test_bf16_step_keeps_extras_master_precision(flow_setup, rng):
+    """BN running stats must NOT be round-tripped through bf16 by the bf16
+    step (round-3 review finding): a sub-bf16-resolution perturbation of the
+    running var (init 1.0; bf16(1.0001)==1.0) must survive one step as
+    exactly 0.9x the perturbation (torch momentum 0.1 EMA in fp32). If the
+    engine casts extras, the perturbation is quantized away and the diff
+    collapses to ~0."""
+    model, state, tx, vgg_vars = flow_setup
+    batch = _flow_batch(rng)
+    step = make_flow_train_step(model, tx, compute_dtype=jnp.bfloat16)
+
+    eps = 1e-4
+    # copy every leaf: the step donates its input, and returning the
+    # fixture's own buffers here would delete them for later tests
+    perturbed = jax.tree_util.tree_map_with_path(
+        lambda p, x: x + eps if (jax.tree_util.keystr(p).endswith("['var']")
+                                 and x.dtype == jnp.float32) else jnp.copy(x),
+        state)
+    base_out, _ = step(jax.tree.map(jnp.copy, state), batch, vgg_vars)
+    pert_out, _ = step(perturbed, batch, vgg_vars)
+
+    checked = 0
+    flat_b = jax.tree_util.tree_flatten_with_path(base_out)[0]
+    flat_p = jax.tree_util.tree_flatten(pert_out)[0]
+    for (path, b_leaf), p_leaf in zip(flat_b, flat_p):
+        key = jax.tree_util.keystr(path)
+        if key.endswith("['var']") and "batch_stats" in key:
+            diff = np.asarray(p_leaf - b_leaf)
+            # rtol covers fp32 ulp noise (~ulp(old_var)/9e-5); the failure
+            # modes are diff==0 (perturbation quantized away) or ~100% off
+            np.testing.assert_allclose(diff, 0.9 * eps, rtol=0.05,
+                                       err_msg=key)
+            checked += 1
+    assert checked >= 5  # flownet has many BN layers
+
+
 def test_reverse_flow_training_semantics(flow_setup, rng):
     """Pin the --reverse double-handling: adapt_batch swaps S/F roles AND
     the step feeds batch['img_F'] (the original *profile*) to the flownet —

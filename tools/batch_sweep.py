@@ -1,7 +1,6 @@
 """Batch-scaling probe for the inference bench: img/s and XLA peak-HBM per
 (dtype, batch, mosaic-warp on/off) — the data behind BASELINE.md's
 "b=256 regression diagnosed" table (round-2 weak item #3)."""
-import hashlib
 import os
 import sys
 import time
@@ -11,16 +10,9 @@ sys.path.insert(0, REPO)
 
 import jax
 
-with open("/proc/cpuinfo") as f:
-    feats = "none"
-    for line in f:
-        if line.startswith("flags"):
-            feats = " ".join(sorted(line.split(":", 1)[1].split()))
-            break
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(REPO, ".jax_cache", "host-"
-                               + hashlib.sha1(feats.encode()).hexdigest()[:12]))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+from ffwm_tpu.hostcache import configure_cache
+
+configure_cache(REPO)
 
 import jax.numpy as jnp
 import numpy as np

@@ -26,19 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 # repo cache (host-scoped like bench.py) so TPU executables persist rounds
-import hashlib
+from ffwm_tpu.hostcache import configure_cache
 
-with open("/proc/cpuinfo") as _f:
-    _feats = "none"
-    for _line in _f:
-        if _line.startswith("flags"):
-            _feats = " ".join(sorted(_line.split(":", 1)[1].split()))
-            break
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache", "host-" + hashlib.sha1(_feats.encode()).hexdigest()[:12]))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+configure_cache(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
 import numpy as np

@@ -74,7 +74,7 @@ def main():
     opt = parser.parse_args()
     if opt.multihost:
         jax.distributed.initialize()  # TPU pods auto-detect coordinates
-    print_and_save(opt, "train")
+    print_and_save(opt, "train", chief=jax.process_index() == 0)
 
     mesh = make_mesh()
     n_dev = len(mesh.devices.flatten())
@@ -151,8 +151,10 @@ def main():
         remat_frozen=not opt.no_remat)
     infer_fn = make_ffwm_inference(models)
 
+    # chief-only: the constructor itself writes (dirs + loss-log header);
+    # every later vis call in the loop is already is_chief-gated
     vis = Visualizer(opt.name, opt.checkpoints_dir, phase="train",
-                     tensorboard=opt.display_id > 0)
+                     tensorboard=opt.display_id > 0) if is_chief else None
     total_iters = int(jax.device_get(state.titers))
     # 'plateau' needs a per-epoch metric (reference feeds self.metric,
     # base_model.py:148-149); we feed the epoch-mean loss_G. The decayed

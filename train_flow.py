@@ -82,7 +82,7 @@ def main():
     opt = parser.parse_args()
     if opt.multihost:
         jax.distributed.initialize()  # TPU pods auto-detect coordinates
-    print_and_save(opt, "train")
+    print_and_save(opt, "train", chief=jax.process_index() == 0)
 
     mesh = make_mesh()
     n_dev = len(mesh.devices.flatten())
@@ -128,8 +128,10 @@ def main():
         model, tx, reverse=getattr(opt, "reverse", False),
         compute_dtype=jnp.bfloat16 if opt.bf16 else None)
 
+    # chief-only: the constructor itself writes (dirs + loss-log header);
+    # every later vis call in the loop is already is_chief-gated
     vis = Visualizer(opt.name, opt.checkpoints_dir, phase="train",
-                     tensorboard=opt.display_id > 0)
+                     tensorboard=opt.display_id > 0) if is_chief else None
     # 'plateau' needs a per-epoch metric (reference feeds self.metric,
     # base_model.py:148-149); we feed the epoch-mean training loss.
     plateau = (PlateauTracker(opt.lr, factor=0.2, patience=5, threshold=1e-2)

@@ -21,13 +21,21 @@ def step_lr(base_lr: float, epoch: int, decay_epochs: int = 3, gamma: float = 0.
 def linear_lr(base_lr: float, epoch: int, niter: int, niter_decay: int,
               epoch_count: int = 1) -> float:
     """Constant for ``niter`` epochs then linear decay to 0 over
-    ``niter_decay`` (reference lambda_rule, models/networks.py:47-50)."""
+    ``niter_decay`` (reference lambda_rule, models/networks.py:47-50).
+
+    ``epoch`` counts epochs trained in THIS process (torch's scheduler
+    last_epoch restarts at 0 on --continue_train); ``epoch_count`` is the
+    reference's resume offset — callers MUST pass it so resumed runs
+    continue the decay instead of restarting it."""
     lr_l = 1.0 - max(0, epoch + epoch_count - niter) / float(niter_decay + 1)
     return base_lr * max(lr_l, 0.0)
 
 
-def cosine_lr(base_lr: float, epoch: int, total_epochs: int) -> float:
-    return base_lr * 0.5 * (1 + math.cos(math.pi * epoch / max(total_epochs, 1)))
+def cosine_lr(base_lr: float, epoch: int, t_max: int) -> float:
+    """CosineAnnealingLR(T_max, eta_min=0) closed form. The reference uses
+    T_max = opt.niter (models/networks.py:57), NOT niter + niter_decay —
+    lr hits 0 at epoch niter and (like torch) climbs back up afterwards."""
+    return base_lr * 0.5 * (1 + math.cos(math.pi * epoch / max(t_max, 1)))
 
 
 @dataclass
@@ -65,5 +73,5 @@ def get_lr(policy: str, base_lr: float, epoch: int, *, decay_epochs: int = 3,
     if policy == "linear":
         return linear_lr(base_lr, epoch, niter, niter_decay, epoch_count)
     if policy == "cosine":
-        return cosine_lr(base_lr, epoch, niter + niter_decay)
+        return cosine_lr(base_lr, epoch, niter)
     raise NotImplementedError(f"lr policy {policy!r} (plateau uses PlateauTracker)")

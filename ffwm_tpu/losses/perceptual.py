@@ -59,7 +59,8 @@ def perceptual_loss_grouped(
     facial-part loss runs 8 separate VGG forwards on 32x32 crops,
     models/ffwm_model.py:126-131 — tiny batches that underfill the MXU;
     VGG is frozen and batch-invariant so the values are unchanged)."""
-    n = len(xs)
+    assert len(xs) == len(ys) == len(group_weights), \
+        (len(xs), len(ys), len(group_weights))
     b = xs[0].shape[0]
     fx = feats(jnp.concatenate(list(xs), axis=0))
     fy = feats(jax.lax.stop_gradient(jnp.concatenate(list(ys), axis=0)))

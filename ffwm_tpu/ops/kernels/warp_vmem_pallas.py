@@ -97,6 +97,19 @@ def _copy_loop(lin_ref, src_ref, out_ref, *, n_blk: int, w_row: int,
     jax.lax.fori_loop(0, n_blk // UNROLL, body, 0)
 
 
+def _choose_block(n: int, vmem_bytes_per_px: int):
+    """Pixel-block size for the dump/fused kernels: a multiple of 128 (the
+    SMEM index block's lane dim must be 128-aligned, which also covers the
+    8-wide loop unroll), sized so the per-block VMEM payload
+    (``n_blk * vmem_bytes_per_px``) fits in ~1 MiB of the ~16 MB scoped
+    budget alongside the single-buffered source. Returns (n_blk, n_pad)
+    where n_pad is the multiple of n_blk the caller pads pixels to."""
+    budget_px = (1024 * 1024) // vmem_bytes_per_px
+    n_blk = max(128, min(budget_px // 128 * 128, (n + 127) // 128 * 128))
+    n_pad = (n + n_blk - 1) // n_blk * n_blk
+    return n_blk, n_pad
+
+
 def _window_dump(img_flat, lin, *, w_row: int, taps_y: int, row_len: int,
                  interpret: bool):
     """Run the dump kernel: [B, H*W, Ck] source + [B, P] starts ->
@@ -106,15 +119,9 @@ def _window_dump(img_flat, lin, *, w_row: int, taps_y: int, row_len: int,
     rows = taps_y * row_len
     kdtype = img_flat.dtype
 
-    # tile the output pixels: the [N_blk*rows, Ck] window buffer must fit
-    # the ~16 MB scoped-VMEM budget alongside the single-buffered source.
-    # n_blk must be a multiple of 128 (the SMEM index block's lane dim must
-    # be 128-aligned or equal to the whole array) — which also covers the
-    # 8-wide loop unroll — and divide the (padded) pixel count: pad lin
-    # with start-0 windows and slice after.
-    budget_px = (1024 * 1024) // (rows * ck * jnp.dtype(kdtype).itemsize)
-    n_blk = max(128, min(budget_px // 128 * 128, (n + 127) // 128 * 128))
-    n_pad = (n + n_blk - 1) // n_blk * n_blk
+    # per-pixel VMEM payload is the [rows, Ck] window; pad lin with
+    # start-0 windows and slice after
+    n_blk, n_pad = _choose_block(n, rows * ck * jnp.dtype(kdtype).itemsize)
     if n_pad != n:
         lin = jnp.concatenate(
             [lin, jnp.zeros((b, n_pad - n), lin.dtype)], axis=1)
@@ -250,9 +257,8 @@ def _forward(image, grid, align_corners, interpret: bool = False):
         return out.reshape(b, hg, wg, c).astype(image.dtype)
 
     bpad, hw, ck = img_flat.shape
-    budget_px = (1024 * 1024) // (ck * jnp.dtype(kdtype).itemsize)
-    n_blk = max(128, min(budget_px // 128 * 128, (n + 127) // 128 * 128))
-    n_pad = (n + n_blk - 1) // n_blk * n_blk
+    # fused weighting never materializes windows: payload is one [Ck] row
+    n_blk, n_pad = _choose_block(n, ck * jnp.dtype(kdtype).itemsize)
     if n_pad != n:
         pad = n_pad - n
         lin = jnp.concatenate([lin, jnp.zeros((b, pad), lin.dtype)], axis=1)

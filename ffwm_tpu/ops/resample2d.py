@@ -25,13 +25,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ffwm_tpu.ops.block_extractor import _gather_border
+
 _EPS = 1e-8
-
-
-def _gather_border(flat: jax.Array, xi: jax.Array, yi: jax.Array, h: int, w: int) -> jax.Array:
-    xc = jnp.clip(xi, 0, w - 1)
-    yc = jnp.clip(yi, 0, h - 1)
-    return jnp.take_along_axis(flat, (yc * w + xc)[..., None], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_size", "dilation"))

@@ -263,7 +263,18 @@ def test_set_lr_and_schedules():
     assert get_lr("step", 4e-4, 6) == 1e-4
     assert get_lr("linear", 1.0, 0, niter=10, niter_decay=10) == 1.0
     assert get_lr("linear", 1.0, 19, niter=10, niter_decay=10) < 0.2
-    assert abs(get_lr("cosine", 1.0, 20, niter=10, niter_decay=10)) < 1e-9
+    # resumed linear runs CONTINUE the decay: torch's LambdaLR last_epoch
+    # restarts at 0 on --continue_train but lambda_rule adds epoch_count
+    # (reference models/networks.py:49) — epoch 0 of a run resumed at
+    # epoch_count=11 must match epoch 10 of a fresh run's trajectory
+    assert get_lr("linear", 1.0, 0, niter=10, niter_decay=10,
+                  epoch_count=11) == get_lr("linear", 1.0, 10,
+                                            niter=10, niter_decay=10)
+    # cosine uses T_max = niter (reference models/networks.py:57), NOT
+    # niter + niter_decay: lr hits 0 at epoch niter
+    assert abs(get_lr("cosine", 1.0, 10, niter=10, niter_decay=10)) < 1e-9
+    assert get_lr("cosine", 1.0, 5, niter=10, niter_decay=10) == \
+        pytest.approx(0.5)
 
     pt = PlateauTracker(1e-3, patience=1)
     assert pt.update(1.0) == 1e-3

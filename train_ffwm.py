@@ -170,10 +170,12 @@ def main():
         else:
             lr_g = get_lr(opt.lr_policy, opt.lr, e,
                           decay_epochs=opt.lr_decay_iters,
-                          niter=opt.niter, niter_decay=opt.niter_decay)
+                          niter=opt.niter, niter_decay=opt.niter_decay,
+                          epoch_count=opt.epoch_count)
             lr_f = get_lr(opt.lr_policy, 5e-5, e,
                           decay_epochs=opt.lr_decay_iters,
-                          niter=opt.niter, niter_decay=opt.niter_decay)
+                          niter=opt.niter, niter_decay=opt.niter_decay,
+                          epoch_count=opt.epoch_count)
         state = state.replace(opt_g=set_lr(state.opt_g, lr_g),
                               opt_f=set_lr(state.opt_f, lr_f),
                               opt_d=set_lr(state.opt_d, lr_g))

@@ -144,7 +144,8 @@ def main():
         else:
             lr = get_lr(opt.lr_policy, opt.lr, epoch - opt.epoch_count,
                         decay_epochs=opt.lr_decay_iters,
-                        niter=opt.niter, niter_decay=opt.niter_decay)
+                        niter=opt.niter, niter_decay=opt.niter_decay,
+                        epoch_count=opt.epoch_count)
         state = state.replace(opt_state=set_lr(state.opt_state, lr))
         t_data_mark = time.time()
         epoch_losses = []  # device scalars; fetched once at epoch end

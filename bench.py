@@ -95,7 +95,18 @@ def measure(dtype, batch):
 
 
 def main():
+    # The tunneled TPU plugin can hang indefinitely in backend init when
+    # the tunnel is down; fail loudly instead of stalling the driver.
+    import signal
+
+    def _timeout(signum, frame):
+        raise TimeoutError(
+            "jax backend init exceeded 15 min — TPU tunnel down?")
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(900)
     dev = jax.devices()[0]
+    signal.alarm(0)
     print(f"# device: {dev.platform} {dev.device_kind}", file=sys.stderr)
 
     results = {}

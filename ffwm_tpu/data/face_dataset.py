@@ -26,6 +26,8 @@ from concurrent.futures import ThreadPoolExecutor
 from os.path import join
 from typing import Dict, Optional
 
+import threading
+
 import numpy as np
 
 try:
@@ -93,6 +95,12 @@ class FaceDataset:
         self.preload = preload
         self.isval = phase != "train"
         self.rng = np.random.RandomState(seed)
+        # __getitem__ runs on the loader's thread pool; RandomState is not
+        # thread-safe (concurrent draws can corrupt state), so augmentation
+        # draws take this lock. (Cross-thread scheduling already makes the
+        # angle->item assignment nondeterministic; the lock keeps the draws
+        # valid.)
+        self._rng_lock = threading.Lock()
         self.image_dict: Dict[str, np.ndarray] = {}
         self.mask_dict: Dict[str, np.ndarray] = {}
         self.lm_dicts = None
@@ -186,7 +194,8 @@ class FaceDataset:
             mask_f = mask_f[:, ::-1, :]
 
         if self.aug:
-            ang = self.rng.randint(-5, 5)
+            with self._rng_lock:
+                ang = self.rng.randint(-5, 5)
             img_s, mask_s, lm_s = rotate_augment(img_s, mask_s, lm_s, ang,
                                                  self.load_size)
 

@@ -13,6 +13,8 @@ import os
 from os.path import join
 from typing import Dict, Optional
 
+import threading
+
 import numpy as np
 
 try:
@@ -32,6 +34,7 @@ class LightCNNDataset:
         self.aug = aug and phase == "train"
         self.isval = phase != "train"
         self.rng = np.random.RandomState(seed)
+        self._rng_lock = threading.Lock()  # pool threads share this RNG
         self.gallery_dict = self._gallery() if self.isval else {}
 
     def __len__(self):
@@ -47,10 +50,12 @@ class LightCNNDataset:
         gray = self._gray(f)
         if self.aug:
             h, w = gray.shape[:2]
-            ang = int(self.rng.randint(-5, 5))
+            with self._rng_lock:  # pool threads share the RandomState
+                ang = int(self.rng.randint(-5, 5))
+                flip = bool(self.rng.rand() < 0.5)
             mat = cv2.getRotationMatrix2D((w // 2, h // 2), ang, 1)
             gray = cv2.warpAffine(gray, mat, (w, h))[:, :, None]
-            if self.rng.rand() < 0.5:
+            if flip:
                 gray = gray[:, ::-1, :]
         if self.crop:
             gray = gray[28:-2, 15:-15]

@@ -148,17 +148,32 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(obj):
+            # bounded-wait put (same pattern as device_prefetch): a bare
+            # q.put on the full queue would block this thread forever if
+            # the consumer exits early, leaking the thread + its pool +
+            # the queued batches for process lifetime
+            while not stop.is_set():
+                try:
+                    q.put(obj, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_threads) as pool:
                     for b in batches:
                         if stop.is_set():
                             return
-                        q.put(collate(list(pool.map(self.dataset.__getitem__, b))))
+                        if not put(collate(list(
+                                pool.map(self.dataset.__getitem__, b)))):
+                            return
             except Exception as e:  # propagate to consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -119,9 +119,14 @@ def hflip(img: np.ndarray) -> np.ndarray:
 
 
 def threshold_u8(img: np.ndarray) -> np.ndarray:
+    """Binarize (>0 -> 255) and return a NEW array. The native kernel works
+    in place, so copy first: ascontiguousarray is a no-op for an
+    already-contiguous uint8 input and would otherwise let the kernel
+    silently mutate a caller's cached array (e.g. a preloaded mask) —
+    diverging from the allocating numpy fallback."""
     lib = get_lib()
-    img = np.ascontiguousarray(img, np.uint8)
     if lib is None:
-        return np.where(img > 0, 255, 0).astype(np.uint8)
+        return np.where(np.asarray(img) > 0, 255, 0).astype(np.uint8)
+    img = np.array(img, np.uint8, copy=True)
     lib.threshold_u8(_u8p(img), img.size)
     return img

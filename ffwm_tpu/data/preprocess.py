@@ -175,6 +175,10 @@ def get_extra_landmarks(fr, fl, key: str, cx: int, cy: int, r: int,
     uxr = uxl = lxr = lxl = 1.0
     cam = key.split("_")[3]
     ang = camera2ang(f"{cam[:2]}_{cam[2]}")
+    # np.cos of the angle in DEGREES — preserved verbatim from the
+    # reference (data_process/process.py:171): the ratio is non-monotonic
+    # in |pose| (15->0.22, 45->2.86, 90->0.41) but IS the data format the
+    # released model was trained on
     ratio = np.exp(np.cos(ang)) ** 2
     if ang > 0:
         uxr, lxr = uxr / ratio, lxr / ratio

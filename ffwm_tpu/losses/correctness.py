@@ -106,6 +106,12 @@ def correctness_loss(
         if norm_mask is None:
             loss = loss + jnp.mean(loss_map) - jnp.exp(jnp.asarray(-1.0))
         else:
+            # exp(-1) is subtracted ONCE from the weighted SUM (not per
+            # element) — preserved verbatim from the reference
+            # (models/losses.py:368); a perfect flow therefore scores
+            # ~exp(-1)*(1 - 1/sum(m)) per scale here, unlike the unmasked
+            # branch. train_flow.py always passes norm_mask, so this IS the
+            # trained objective.
             m = resize_nearest(norm_mask, (h, w)).reshape(-1, h * w)
             loss = loss + (jnp.sum(m * loss_map) - jnp.exp(jnp.asarray(-1.0))) / (
                 jnp.sum(m) + _EPS

@@ -20,6 +20,7 @@ from flax import linen as nn
 
 from ffwm_tpu.nn.layers import (
     BatchNorm2d,
+    InstanceNorm2d,
     Conv2d,
     ConvTranspose2d,
     Linear,
@@ -112,6 +113,19 @@ class UpsampleFlow(nn.Module):
 # FFWM generator blocks (reference: models/base_networks.py:208-312)
 # --------------------------------------------------------------------------
 
+_NORMS = {"bn": BatchNorm2d, "in": InstanceNorm2d}
+
+
+def get_norm(name: str):
+    """The reference's norm registry (models/base_networks.py:200-206):
+    'bn' -> BatchNorm2d, 'in' -> InstanceNorm2d, anything else raises.
+    Both classes share the (x, use_running_average=...) call signature."""
+    try:
+        return _NORMS[name]
+    except KeyError:
+        raise NotImplementedError(f"Normalization {name} not implemented")
+
+
 class _InnerSeq(nn.Module):
     """ResidualBlock.blocks: conv/bn/lrelu/conv/bn with torch indices."""
 
@@ -123,11 +137,12 @@ class _InnerSeq(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         pad = self.kernel // 2
+        norm = get_norm(self.norm)
         x = _apply(_conv(self.sn, self.outc, self.kernel, 1, pad, "0"), x, train)
-        x = BatchNorm2d(name="1")(x, use_running_average=not train)
+        x = norm(name="1")(x, use_running_average=not train)
         x = leaky_relu(x, 0.2)
         x = _apply(_conv(self.sn, self.outc, self.kernel, 1, pad, "3"), x, train)
-        x = BatchNorm2d(name="4")(x, use_running_average=not train)
+        x = norm(name="4")(x, use_running_average=not train)
         return x
 
 
@@ -180,7 +195,8 @@ class ConvBlock(nn.Module):
         x = conv(x, train) if self.sn else conv(x)
         idx += 1
         if self.bn:
-            x = BatchNorm2d(name=str(idx))(x, use_running_average=not train)
+            x = get_norm(self.norm)(name=str(idx))(
+                x, use_running_average=not train)
             idx += 1
         if self.activ is not None:
             x = get_activ(self.activ)(x)
@@ -216,7 +232,8 @@ class DeConvBlock(nn.Module):
                             output_padding=self.op, name="0")(x)
         idx = 1
         if self.bn:
-            x = BatchNorm2d(name=str(idx))(x, use_running_average=not train)
+            x = get_norm(self.norm)(name=str(idx))(
+                x, use_running_average=not train)
             idx += 1
         if self.activ is not None:
             x = get_activ(self.activ)(x)
@@ -250,7 +267,8 @@ class PixelShuffleBlock(nn.Module):
         x = pixel_shuffle(x, 2)
         idx = 2
         if self.bn:
-            x = BatchNorm2d(name=str(idx))(x, use_running_average=not train)
+            x = get_norm(self.norm)(name=str(idx))(
+                x, use_running_average=not train)
             idx += 1
         if self.activ is not None:
             x = get_activ(self.activ)(x)

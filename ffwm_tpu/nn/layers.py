@@ -66,6 +66,25 @@ def kaiming_normal_msra(key, shape, dtype=jnp.float32):
     return jax.random.normal(key, shape, dtype) * std
 
 
+def transposed_fan(init_fn):
+    """Adapt a fan_in-based initializer to ConvTranspose kernels.
+
+    torch's _calculate_fan_in for a ConvTranspose2d weight (I, O, kh, kw)
+    is O*kh*kw (dim 1 is always "in" to torch, but dim 1 of a transposed
+    conv's weight is the OUTPUT channel). Our stored kernel is the
+    forward-equivalent HWIO (kh, kw, I, O), so the torch-parity fan comes
+    from shape[3], not shape[2]: swap I/O before delegating. Applies to
+    both torch's default kaiming_uniform(a=sqrt(5)) and the reference's
+    initialize_msra kaiming_normal_ (models/base_networks.py:15-18)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, i, o = shape
+        sample = init_fn(key, (kh, kw, o, i), dtype)
+        return jnp.swapaxes(sample, 2, 3)
+
+    return init
+
+
 def bias_uniform_torch(fan_in: int):
     bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
 
@@ -168,7 +187,8 @@ class ConvTranspose2d(nn.Module):
     padding: Union[int, Tuple[int, int]] = 0
     output_padding: int = 0
     use_bias: bool = True
-    kernel_init: Callable = kaiming_uniform_torch
+    kernel_init: Optional[Callable] = None  # default: torch-parity
+                                            # transposed_fan(kaiming_uniform)
     bias_init: Optional[Callable] = None
     dtype: Optional[Dtype] = None
 
@@ -179,7 +199,10 @@ class ConvTranspose2d(nn.Module):
         ph, pw = _pair(self.padding)
         op = self.output_padding
         in_ch = x.shape[-1]
-        kernel = self.param("kernel", self.kernel_init, (kh, kw, in_ch, self.features))
+        # torch computes ConvTranspose fan_in from the OUT channel (weight
+        # (I,O,kh,kw) -> O*kh*kw); wrap fan_in-based inits accordingly
+        kinit = transposed_fan(self.kernel_init or kaiming_uniform_torch)
+        kernel = self.param("kernel", kinit, (kh, kw, in_ch, self.features))
         dt = self.dtype or x.dtype
         y = jax.lax.conv_general_dilated(
             x.astype(dt),

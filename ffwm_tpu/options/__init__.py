@@ -60,7 +60,10 @@ def train_parser(model: str = "ffwm") -> argparse.ArgumentParser:
     p.add_argument("--print_freq", type=int, default=400)
     p.add_argument("--display_freq", type=int, default=6400)
     p.add_argument("--save_epoch_freq", type=int, default=2)
-    p.add_argument("--save_by_iter", action="store_true")
+    p.add_argument("--save_by_iter", action="store_true",
+                   help="accepted for compatibility; unused — the reference "
+                        "declares it (options/train_options.py:24) but its "
+                        "trainers only save at epoch end, as do ours")
     p.add_argument("--continue_train", action="store_true")
     p.add_argument("--epoch", type=str, default="latest",
                    help="which checkpoint to resume from")
@@ -108,7 +111,11 @@ def train_parser(model: str = "ffwm") -> argparse.ArgumentParser:
 
 def test_parser() -> argparse.ArgumentParser:
     p = base_parser("test")
-    p.add_argument("--results_dir", type=str, default="./results/")
+    p.add_argument("--results_dir", type=str, default="./results/",
+                   help="accepted for compatibility; unused — the reference "
+                        "declares but never reads it either "
+                        "(options/test_options.py:11); visuals go to "
+                        "{checkpoints_dir}/{name}/test/{datamode}")
     p.add_argument("--num_test", type=int, default=float("inf"))
     p.add_argument("--eval", action="store_true")
     p.add_argument("--epoch", type=str, default="latest")

@@ -149,6 +149,7 @@ def export_state_dict(variables: Mapping[str, Any], kind: str) -> Dict[str, np.n
     identity-ish defaults (zero conv, unit BN) — the reference forward never
     touches them."""
     out: Dict[str, np.ndarray] = {}
+    sn_mods = _spectral_paths(variables)  # once, not per kernel leaf
 
     def walk(node, path, collection):
         if isinstance(node, Mapping):
@@ -180,7 +181,6 @@ def export_state_dict(variables: Mapping[str, Any], kind: str) -> Dict[str, np.n
             else:
                 w = np.transpose(v, (1, 0))
             # spectral-normed kernels export as weight_orig
-            sn_mods = _spectral_paths(variables)
             name = "weight_orig" if tuple(path[:-1]) in sn_mods else "weight"
             out[key + "." + name] = w
         elif leaf == "scale":
@@ -214,12 +214,6 @@ def export_state_dict(variables: Mapping[str, Any], kind: str) -> Dict[str, np.n
 
 def _spectral_paths(variables) -> set:
     mods = set()
-
-    def walk(node, path):
-        if isinstance(node, Mapping):
-            for k, v in node.items():
-                walk(v, path + (k,))
-        # path like (..., 'sn', 'u')
 
     def collect(node, path):
         if isinstance(node, Mapping):

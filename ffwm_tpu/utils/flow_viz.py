@@ -67,6 +67,9 @@ def grid_to_flow_image(grid: np.ndarray) -> np.ndarray:
     (util/util.py:25-43): clamp to the image, subtract the identity grid.
     """
     h, w, _ = grid.shape
+    # H scales/clips BOTH axes — preserved verbatim from the reference
+    # (util/util.py:36 "(flow + 1) * (H / 2)" clamped to H-1 for both
+    # channels); all live flows are square so the quirk is invisible
     gx = np.clip((grid[..., 0] + 1) * (h / 2), 0, h - 1)
     gy = np.clip((grid[..., 1] + 1) * (h / 2), 0, h - 1)
     xs, ys = np.meshgrid(np.arange(w), np.arange(h))

@@ -24,7 +24,12 @@ except ImportError:  # pragma: no cover
 
 
 def tensor2im(arr: np.ndarray, idx: int = 0) -> np.ndarray:
-    """[B,H,W,C] float [0,1] (or [B,H,W,1]) -> uint8 RGB (HWC)."""
+    """[B,H,W,C] float [0,1] (or [B,H,W,1]) -> uint8 RGB (HWC).
+
+    The 1-channel branch remaps to [-1,1] before the *255 clip (values
+    <= 0.5 render black) — preserved verbatim from the reference's
+    grayscale-to-RGB path (util/util.py:17-18 "(image_numpy - 0.5) * 2");
+    use tensor2mask for plain grayscale scaling."""
     img = np.asarray(arr)[idx].astype(np.float32)
     if img.shape[-1] == 1:
         img = np.tile((img - 0.5) * 2, (1, 1, 3))

@@ -32,7 +32,6 @@ from ffwm_tpu.engine.lightcnn_finetune import (
 )
 from ffwm_tpu.parallel import (
     check_batch_divisible,
-    drop_remainder,
     make_mesh,
     replicate,
     shard_batch,
@@ -112,10 +111,9 @@ def main():
         state = state.replace(opt_state=set_lr(state.opt_state, lr))
         t0 = time.time()
         for batch in train_loader:
+            # batches are always full and mesh-divisible here: the loader
+            # runs drop_last=True and check_batch_divisible gates startup
             fb = {"image": batch["image"], "label": batch["label"]}
-            fb = drop_remainder(fb, n_dev)
-            if fb is None:
-                continue
             fb = shard_batch(fb, mesh)
             rng, drng = jax.random.split(rng)
             state, metrics = step_fn(state, fb, drng)
@@ -128,6 +126,11 @@ def main():
         validate(feature_fn, state.net.params, val_loader, val_ds.gallery_dict)
 
         host = jax.device_get(state)
+        # epoch % 5 == 0 with the {epoch+1} name (-> 1, 6, 11, ...) is the
+        # reference's own cadence, preserved verbatim
+        # (lightcnn/finetune.py:126-128); the canonical
+        # lightCNN_10_checkpoint.pth came from elsewhere. 'latest' is
+        # written every epoch like the reference's line 129.
         if epoch % 5 == 0:
             save_tree(args.save_path, "", f"lightCNN_{epoch + 1}_checkpoint",
                       host.net.variables)

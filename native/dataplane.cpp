@@ -63,13 +63,17 @@ void rotate_u8(const uint8_t* src, uint8_t* dst, int h, int w, int c,
 // uint8 HWC -> float32 HWC scaled by 1/255 (the /255 normalization of
 // data/face_dataset.py:77-80).
 void u8_to_f32(const uint8_t* src, float* dst, int64_t n) {
-  static float lut[256];
-  static std::atomic<bool> lut_ready{false};
-  if (!lut_ready.load(std::memory_order_acquire)) {
-    for (int i = 0; i < 256; ++i) lut[i] = (float)i / 255.0f;
-    lut_ready.store(true, std::memory_order_release);
-  }
-  for (int64_t i = 0; i < n; ++i) dst[i] = lut[src[i]];
+  // Meyers singleton: C++11 guarantees thread-safe one-time init. The old
+  // lazy-fill-with-atomic-flag had a race — threads that saw the flag
+  // false all wrote the (non-atomic) table while others could be reading.
+  struct Lut {
+    float v[256];
+    Lut() {
+      for (int i = 0; i < 256; ++i) v[i] = (float)i / 255.0f;
+    }
+  };
+  static const Lut lut;
+  for (int64_t i = 0; i < n; ++i) dst[i] = lut.v[src[i]];
 }
 
 // Horizontal flip of an HxWxC array (any element size es).

@@ -150,6 +150,10 @@ def main():
             feas = np.asarray(feas_dev)[:bsz]
             metric.update(feas, files, gallery_feas, gallery_keys)
             for idx, name in enumerate(files):
+                # save_image only applies when visual_list.npy is absent —
+                # preserved verbatim from the reference (test_ffwm.py:69
+                # "name in visual_list or (len(visual_list) == 0 and
+                # opt.save_image)")
                 if name in visual_list or (not visual_list and opt.save_image):
                     prefix = os.path.splitext(name)[0]
                     vis.display_test_results(

@@ -52,7 +52,10 @@ def _host_cache_dir(root):
         with open("/proc/cpuinfo") as f:
             feats = "none"
             for line in f:
-                if line.startswith("flags"):
+                # x86 lists ISA extensions under "flags"; aarch64 under
+                # "Features" — missing both would hash every ARM host to
+                # the same "none" dir and share incompatible AOT artifacts
+                if line.startswith(("flags", "Features")):
                     feats = " ".join(sorted(line.split(":", 1)[1].split()))
                     break
     except OSError:

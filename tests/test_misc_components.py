@@ -45,6 +45,55 @@ def test_deconv_block(rng):
     assert np.isfinite(np.asarray(y)).all()
 
 
+def test_blocks_norm_registry(rng):
+    """norm='in' must actually select InstanceNorm2d (reference get_norm,
+    base_networks.py:200-206) — it used to be silently ignored; unknown
+    names raise like the reference."""
+    from ffwm_tpu.nn.blocks import ConvBlock
+
+    blk = ConvBlock(8, 16, 3, 1, 1, norm="in")
+    x = jnp.asarray(rng.rand(2, 8, 8, 8), jnp.float32)
+    variables = blk.init(jax.random.PRNGKey(0), x, True)
+    # InstanceNorm2d is stat-free and affine-free: no batch_stats collection
+    assert "batch_stats" not in variables
+    y = blk.apply(variables, x, True)
+    assert np.isfinite(np.asarray(y)).all()
+
+    blk_bad = ConvBlock(8, 16, 3, 1, 1, norm="group")
+    with pytest.raises(NotImplementedError, match="group"):
+        blk_bad.init(jax.random.PRNGKey(0), x, True)
+
+
+def test_convtranspose_init_uses_torch_fan():
+    """torch computes ConvTranspose2d fan_in from the OUT channel (weight
+    (I,O,kh,kw) -> O*kh*kw, torch nn.init._calculate_fan_in_and_fan_out);
+    the reference's initialize_msra kaiming_normal_ therefore scales FlowNet
+    deconvs by 1/sqrt(O*kh*kw), not 1/sqrt(I*kh*kw). Pin our from-scratch
+    init std against torch's on an asymmetric (I=128, O=32) deconv."""
+    import torch
+
+    from ffwm_tpu.nn.layers import ConvTranspose2d, kaiming_normal_msra
+
+    i, o, k = 128, 32, 4
+    # torch oracle: kaiming_normal_ default (fan_in, relu gain)
+    w = torch.empty(i, o, k, k)
+    torch.nn.init.kaiming_normal_(w)
+    torch_std = float(w.std())
+
+    deconv = ConvTranspose2d(o, k, 2, 1, kernel_init=kaiming_normal_msra)
+    v = deconv.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, i)))
+    ours = float(np.asarray(v["params"]["kernel"]).std())
+    assert ours == pytest.approx(torch_std, rel=0.05), (ours, torch_std)
+
+    # default init: torch kaiming_uniform(a=sqrt(5)) with the same O-fan
+    wu = torch.empty(i, o, k, k)
+    torch.nn.init.kaiming_uniform_(wu, a=5 ** 0.5)
+    deconv2 = ConvTranspose2d(o, k, 2, 1)
+    v2 = deconv2.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, i)))
+    ours2 = float(np.asarray(v2["params"]["kernel"]).std())
+    assert ours2 == pytest.approx(float(wu.std()), rel=0.05), ours2
+
+
 def test_rank1_meter():
     from ffwm_tpu.utils.metrics import Rank1Meter
 

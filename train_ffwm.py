@@ -27,7 +27,6 @@ from ffwm_tpu.data import create_dataset
 from ffwm_tpu.engine import (
     build_models,
     create_ffwm_train_state,
-    create_flow_train_state,
     exists,
     make_ffwm_inference,
     make_ffwm_train_step,
@@ -102,9 +101,12 @@ def main():
 
     models = build_models()
     s = opt.load_size
-    # pretrained flownets
-    _, tmp_state, _ = create_flow_train_state(jax.random.PRNGKey(0), image_size=s)
-    flow_init = tmp_state.net.variables
+    # pretrained flownets: init variables only as the restore template
+    # (building a flow TRAIN state here would also allocate an unused
+    # Adam tree — test_ffwm.py:69 uses the same init-only pattern)
+    flow_init = models.flownet.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, s, s, 3), jnp.float32),
+                                    train=False)
     flow_f_vars = load_net_vars(opt.flownetf, "flownet", flow_init, "flowNetF")
     flow_b_vars = load_net_vars(opt.flownetb, "flownet", flow_init, "flowNetB")
 

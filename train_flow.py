@@ -136,7 +136,10 @@ def main():
     # base_model.py:148-149); we feed the epoch-mean training loss.
     plateau = (PlateauTracker(opt.lr, factor=0.2, patience=5, threshold=1e-2)
                if opt.lr_policy == "plateau" else None)
-    total_iters = 0
+    # resume the loss-log iteration counter from the checkpointed step
+    # count, like train_ffwm.py does with titers (the reference restarts
+    # at 0; continuing the counter keeps the log monotonic)
+    total_iters = int(jax.device_get(state.step)) * opt.batch_size
     for epoch in range(opt.epoch_count, opt.niter + opt.niter_decay + 1):
         epoch_start = time.time()
         if plateau is not None:

@@ -96,17 +96,19 @@ def measure(dtype, batch):
 
 def main():
     # The tunneled TPU plugin can hang indefinitely in backend init when
-    # the tunnel is down; fail loudly instead of stalling the driver.
-    import signal
+    # the tunnel is down; fail loudly instead of stalling the driver. A
+    # watchdog THREAD (not SIGALRM): the hang is inside the PJRT plugin's
+    # C++ init, where a Python signal handler would never get to run.
+    import threading
 
-    def _timeout(signum, frame):
-        raise TimeoutError(
-            "jax backend init exceeded 15 min — TPU tunnel down?")
-
-    signal.signal(signal.SIGALRM, _timeout)
-    signal.alarm(900)
+    watchdog = threading.Timer(900.0, lambda: (
+        print("bench: jax backend init exceeded 15 min — TPU tunnel down?",
+              file=sys.stderr, flush=True),
+        os._exit(2)))
+    watchdog.daemon = True
+    watchdog.start()
     dev = jax.devices()[0]
-    signal.alarm(0)
+    watchdog.cancel()
     print(f"# device: {dev.platform} {dev.device_kind}", file=sys.stderr)
 
     results = {}

@@ -126,7 +126,11 @@ def threshold_u8(img: np.ndarray) -> np.ndarray:
     diverging from the allocating numpy fallback."""
     lib = get_lib()
     if lib is None:
-        return np.where(np.asarray(img) > 0, 255, 0).astype(np.uint8)
+        # cast to uint8 BEFORE comparing, like the native path's copy does
+        # (float 0.5 truncates to 0, int 256 wraps) — keeps both builds
+        # bit-identical for any input dtype
+        return np.where(np.asarray(img).astype(np.uint8) > 0, 255,
+                        0).astype(np.uint8)
     img = np.array(img, np.uint8, copy=True)
     lib.threshold_u8(_u8p(img), img.size)
     return img

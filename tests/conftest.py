@@ -40,33 +40,19 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # options + jaxlib version; the canonical XLA_FLAGS above keep keys stable.
 
 
-def _host_cache_dir(root):
-    """Machine-feature-scoped cache subdir (duplicated in __graft_entry__.py,
-    which must stay import-order hermetic): XLA:CPU persistent-cache entries
-    are AOT artifacts compiled for THIS host's ISA — the loader itself warns
-    that loading them elsewhere "could lead to execution errors such as
-    SIGILL". Scoping by a CPU-feature fingerprint makes a foreign host
-    recompile into its own subdir instead of loading incompatible code."""
-    import hashlib
-    try:
-        with open("/proc/cpuinfo") as f:
-            feats = "none"
-            for line in f:
-                # x86 lists ISA extensions under "flags"; aarch64 under
-                # "Features" — missing both would hash every ARM host to
-                # the same "none" dir and share incompatible AOT artifacts
-                if line.startswith(("flags", "Features")):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
-    except OSError:
-        import platform
-        feats = platform.machine()
-    return os.path.join(root, "host-" + hashlib.sha1(feats.encode()).hexdigest()[:12])
+# Machine-feature-scoped cache subdir: XLA:CPU persistent-cache entries are
+# AOT artifacts compiled for THIS host's ISA — the loader itself warns that
+# loading them elsewhere "could lead to execution errors such as SIGILL".
+# ffwm_tpu.hostcache is jax-free and ffwm_tpu/__init__ is docstring-only, so
+# this import is safe after the env/config setup above. (__graft_entry__.py
+# keeps its own inline copy: the driver imports it standalone.)
+import sys  # noqa: E402
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from ffwm_tpu.hostcache import host_fingerprint  # noqa: E402
 
-_CACHE = _host_cache_dir(
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache", "host-" + host_fingerprint())
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 

@@ -29,11 +29,16 @@ import argparse
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ffwm_tpu.hostcache import configure_cache
+
+configure_cache(REPO)  # persistent compile cache: repeat exports trace-only
 
 
 def build_baked_infer(opt):
@@ -47,9 +52,7 @@ def build_baked_infer(opt):
     gen_vars = models.gen.init(jax.random.PRNGKey(1), x, flows0, train=False)
 
     if not opt.random:
-        sys.path.insert(0, os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))))
-        from test_ffwm import load_variables
+        from test_ffwm import load_variables  # repo root on sys.path (top)
 
         class O:  # the loader helper only reads these three fields
             checkpoints_dir, name, epoch = opt.checkpoints_dir, opt.name, opt.epoch

@@ -149,9 +149,9 @@ def test_two_process_flow_training_cli(tmp_path, dataroot):
     coord = f"localhost:{port}"
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    from conftest import _host_cache_dir  # same host-scoped cache as the suite
+    from ffwm_tpu.hostcache import host_fingerprint  # same host-scoped cache
 
-    cache = _host_cache_dir(os.path.join(repo, ".jax_cache"))
+    cache = os.path.join(repo, ".jax_cache", "host-" + host_fingerprint())
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = repo

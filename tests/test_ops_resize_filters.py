@@ -91,3 +91,43 @@ def test_fast_guided_filter_runs(rng):
     out = fast_guided_filter(jnp.asarray(lr_x), jnp.asarray(lr_y), jnp.asarray(hr_x), r=4)
     assert out.shape == (1, 128, 128, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.fixture(scope="module")
+def ref_extfn():
+    """The reference's guided-filter module, imported live as the oracle
+    (/root/reference/models/external_function.py — the CUDA-extension imports
+    at its top are inside try/except, so it loads CPU-only)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_external_function",
+        "/root/reference/models/external_function.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_guided_filter_matches_reference(ref_extfn, rng):
+    """Live oracle vs the reference GuidedFilter (external_function.py:239-277),
+    the exact module FFWM uses for illumination transfer at radii 32/16/8."""
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    y = np.clip(x + 0.1 * rng.randn(2, 64, 64, 3).astype(np.float32), 0, 1)
+    ours = np.asarray(guided_filter(jnp.asarray(x), jnp.asarray(y), r=8))
+    with torch.no_grad():
+        ref = _n(ref_extfn.GuidedFilter(8)(_t(x), _t(y)))
+    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_fast_guided_filter_matches_reference(ref_extfn, rng):
+    """Live oracle vs the reference FastGuidedFilter
+    (external_function.py:197-237): low-res A/b + align_corners=True
+    bilinear upsample of A,b (NOT box-smoothed like the full filter)."""
+    lr_x = rng.rand(1, 32, 32, 3).astype(np.float32)
+    lr_y = rng.rand(1, 32, 32, 3).astype(np.float32)
+    hr_x = rng.rand(1, 128, 128, 3).astype(np.float32)
+    ours = np.asarray(fast_guided_filter(
+        jnp.asarray(lr_x), jnp.asarray(lr_y), jnp.asarray(hr_x), r=4))
+    with torch.no_grad():
+        ref = _n(ref_extfn.FastGuidedFilter(4)(_t(lr_x), _t(lr_y), _t(hr_x)))
+    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)

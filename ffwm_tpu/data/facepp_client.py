@@ -18,27 +18,43 @@ import urllib.parse
 import urllib.request
 from concurrent.futures import ThreadPoolExecutor
 from os.path import basename, join, splitext
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 API_URL = "https://api-cn.faceplusplus.com/facepp/v1/face/thousandlandmark"
 
 
+def _urllib_transport(url: str, data: bytes, timeout: float) -> bytes:
+    """Default transport: one POST, returns the raw response body."""
+    req = urllib.request.Request(url, data=data)
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return resp.read()
+
+
 class FacePPClient:
     def __init__(self, api_key: str, api_secret: str,
-                 url: str = API_URL, qps: float = 1.0):
+                 url: str = API_URL, qps: float = 1.0,
+                 transport: Optional[Callable[[str, bytes, float], bytes]] = None,
+                 clock: Callable[[], float] = time.time,
+                 sleep: Callable[[float], None] = time.sleep):
+        """``transport``/``clock``/``sleep`` are injectable so the throttle,
+        retry, and resume logic is testable offline (tests/test_data.py);
+        the defaults are the production urllib POST and wall clock."""
         self.api_key = api_key
         self.api_secret = api_secret
         self.url = url
         self.min_interval = 1.0 / qps
+        self._transport = transport or _urllib_transport
+        self._clock = clock
+        self._sleep = sleep
         self._lock = threading.Lock()
-        self._last = 0.0
+        self._last = float("-inf")
 
     def _throttle(self):
         with self._lock:
-            wait = self._last + self.min_interval - time.time()
+            wait = self._last + self.min_interval - self._clock()
             if wait > 0:
-                time.sleep(wait)
-            self._last = time.time()
+                self._sleep(wait)
+            self._last = self._clock()
 
     def fetch(self, image_path: str, retries: int = 3) -> Optional[dict]:
         with open(image_path, "rb") as f:
@@ -52,9 +68,7 @@ class FacePPClient:
         for attempt in range(retries):
             self._throttle()
             try:
-                req = urllib.request.Request(self.url, data=data)
-                with urllib.request.urlopen(req, timeout=30) as resp:
-                    return json.loads(resp.read().decode())
+                return json.loads(self._transport(self.url, data, 30).decode())
             except (urllib.error.URLError, json.JSONDecodeError) as e:
                 print(f"{basename(image_path)}: attempt {attempt + 1} failed ({e})")
         return None

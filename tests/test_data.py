@@ -1,5 +1,7 @@
 """Dataset + loader behavior on synthetic Multi-PIE/LFW data."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -169,3 +171,149 @@ def test_loader_process_shard(dataroot):
 
     with pytest.raises(ValueError, match="seed"):
         DataLoader(ds, batch_size=2, shuffle=True, process_shard=(0, 2))
+
+
+# ---------------------------------------------------------------------------
+# Face++ landmark fetcher (ffwm_tpu/data/facepp_client.py) — offline, with an
+# injected transport/clock. Semantics under test mirror the reference's
+# data_process/get_landmarks.py:15-73 (resume by skipping existing JSONs,
+# one JSON per image keyed by stem) and face_plus_plus.py:11-53 (throttled
+# retried POST; only responses containing "face" are kept).
+# ---------------------------------------------------------------------------
+
+from ffwm_tpu.data.facepp_client import FacePPClient  # noqa: E402
+
+
+@pytest.fixture()
+def img_dir(tmp_path):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for name in ("001_01_01_051_06.png", "002_01_01_090_06.png"):
+        (d / name).write_bytes(b"fakepng-" + name.encode())
+    return str(d)
+
+
+def _ok_response(payload=None):
+    import json as _json
+
+    body = {"face": {"landmark": payload or {"nose": {"x": 1, "y": 2}}}}
+    return _json.dumps(body).encode()
+
+
+def test_facepp_request_payload_and_file_mapping(img_dir, tmp_path):
+    """The POST carries the credentials + base64 image; the JSON lands at
+    out_dir/<stem>.json (suffix via splitext when suffix_strip=0)."""
+    import base64
+    import json as _json
+    import urllib.parse
+
+    calls = []
+
+    def transport(url, data, timeout):
+        calls.append((url, data, timeout))
+        return _ok_response()
+
+    out = str(tmp_path / "lm")
+    c = FacePPClient("KEY", "SECRET", qps=1e9, transport=transport)
+    c.fetch_dir(img_dir, out, workers=1)
+
+    assert len(calls) == 2
+    url, data, timeout = calls[0]
+    fields = dict(urllib.parse.parse_qsl(data.decode()))
+    assert fields["api_key"] == "KEY" and fields["api_secret"] == "SECRET"
+    assert fields["return_landmark"] == "all"
+    raw = base64.b64decode(fields["image_base64"])
+    assert raw.startswith(b"fakepng-")
+    files = sorted(os.listdir(out))
+    assert files == ["001_01_01_051_06.json", "002_01_01_090_06.json"]
+    with open(os.path.join(out, files[0])) as f:
+        assert "face" in _json.load(f)
+
+
+def test_facepp_suffix_strip(img_dir, tmp_path):
+    """suffix_strip=N drops the trailing N chars of the file name (the
+    reference passes the literal suffix length, get_landmarks.py:44-47)."""
+    out = str(tmp_path / "lm")
+    c = FacePPClient("k", "s", qps=1e9, transport=lambda *a: _ok_response())
+    c.fetch_dir(img_dir, out, suffix_strip=len(".png"), workers=1)
+    assert sorted(os.listdir(out)) == [
+        "001_01_01_051_06.json", "002_01_01_090_06.json"]
+
+
+def test_facepp_resume_skips_existing(img_dir, tmp_path):
+    """Second run over the same directory issues zero requests (resumable)."""
+    out = str(tmp_path / "lm")
+    n = [0]
+
+    def transport(url, data, timeout):
+        n[0] += 1
+        return _ok_response()
+
+    c = FacePPClient("k", "s", qps=1e9, transport=transport)
+    c.fetch_dir(img_dir, out, workers=1)
+    assert n[0] == 2
+    c.fetch_dir(img_dir, out, workers=1)
+    assert n[0] == 2  # all JSONs exist -> no fetches
+
+
+def test_facepp_no_face_response_not_written(img_dir, tmp_path, capsys):
+    """Responses without a 'face' key are reported and NOT saved, so a rerun
+    retries them (reference keeps only successful parses)."""
+    out = str(tmp_path / "lm")
+    c = FacePPClient("k", "s", qps=1e9,
+                     transport=lambda *a: b'{"error_message": "no face"}')
+    c.fetch_dir(img_dir, out, workers=1)
+    assert os.listdir(out) == []
+    assert "no face result" in capsys.readouterr().out
+
+
+def test_facepp_retry_then_success_and_exhaustion(img_dir, tmp_path):
+    import urllib.error
+
+    attempts = [0]
+
+    def flaky(url, data, timeout):
+        attempts[0] += 1
+        if attempts[0] < 3:
+            raise urllib.error.URLError("boom")
+        return _ok_response()
+
+    c = FacePPClient("k", "s", qps=1e9, transport=flaky)
+    img = os.path.join(img_dir, "001_01_01_051_06.png")
+    assert c.fetch(img, retries=3) is not None
+    assert attempts[0] == 3
+
+    def always_fail(url, data, timeout):
+        attempts[0] += 1
+        raise urllib.error.URLError("down")
+
+    c2 = FacePPClient("k", "s", qps=1e9, transport=always_fail)
+    attempts[0] = 0
+    assert c2.fetch(img, retries=2) is None
+    assert attempts[0] == 2
+
+
+def test_facepp_throttle_pacing():
+    """qps=2 -> consecutive requests spaced >= 0.5 virtual seconds; the first
+    request is never delayed. Uses an injected clock so no real sleeping."""
+    now = [100.0]
+    sleeps = []
+
+    def clock():
+        return now[0]
+
+    def sleep(dt):
+        sleeps.append(dt)
+        now[0] += dt
+
+    c = FacePPClient("k", "s", qps=2.0, clock=clock, sleep=sleep)
+    stamps = []
+    for _ in range(3):
+        c._throttle()
+        stamps.append(now[0])
+        now[0] += 0.1  # simulate a fast (100 ms) request
+    # first call immediate; later calls spaced by >= min_interval
+    assert stamps[0] == 100.0
+    assert len(sleeps) == 2 and all(s > 0 for s in sleeps)
+    for a, b in zip(stamps, stamps[1:]):
+        assert b - a >= 0.5 - 1e-9

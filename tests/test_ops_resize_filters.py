@@ -97,17 +97,27 @@ def test_fast_guided_filter_runs(rng):
 def ref_extfn():
     """The reference's guided-filter module, imported live as the oracle
     (/root/reference/models/external_function.py — the CUDA-extension imports
-    at its top are inside try/except, so it loads CPU-only)."""
-    import importlib.util
+    at its top are inside try/except, so it loads CPU-only).
 
-    spec = importlib.util.spec_from_file_location(
-        "ref_external_function",
-        "/root/reference/models/external_function.py")
+    Deliberate live-oracle tradeoff: exec_module runs the reference file's
+    module-level code in the test process. The reference checkout is treated
+    as untrusted content elsewhere in this repo, so the tests using this
+    fixture carry the ``reference`` marker — CI environments can opt out with
+    ``-m 'not reference'`` — and skip cleanly when the checkout is absent.
+    """
+    import importlib.util
+    import os
+
+    path = "/root/reference/models/external_function.py"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not mounted")
+    spec = importlib.util.spec_from_file_location("ref_external_function", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
 
 
+@pytest.mark.reference
 def test_guided_filter_matches_reference(ref_extfn, rng):
     """Live oracle vs the reference GuidedFilter (external_function.py:239-277),
     the exact module FFWM uses for illumination transfer at radii 32/16/8."""
@@ -119,6 +129,7 @@ def test_guided_filter_matches_reference(ref_extfn, rng):
     np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.reference
 def test_fast_guided_filter_matches_reference(ref_extfn, rng):
     """Live oracle vs the reference FastGuidedFilter
     (external_function.py:197-237): low-res A/b + align_corners=True

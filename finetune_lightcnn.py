@@ -60,10 +60,22 @@ def parse_args():
     p.add_argument("--crop", action="store_true")
     p.add_argument("--preload", action="store_true")
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-process (TPU pod) run: call "
+                        "jax.distributed.initialize() and shard the train "
+                        "epoch across processes")
     return p.parse_args()
 
 
-def validate(feature_fn, params, val_loader, gallery_dict):
+def validate(feature_fn, params, val_loader, gallery_dict, chief=True):
+    """Rank-1 validation vs the one-frontal-per-identity gallery.
+
+    Multi-host: ``params`` is host-local here (the caller device_gets the
+    replicated state), so every process validates the full val set as a
+    purely local computation — no collective, no cross-process symmetry
+    requirement — and only the chief prints. Redundant per-host compute,
+    but validation is tiny next to a finetune epoch.
+    """
     keys = list(gallery_dict.keys())
     gallery = jnp.asarray(np.stack([gallery_dict[k] for k in keys]))
     gallery_feas = np.asarray(feature_fn(params, gallery))
@@ -71,19 +83,37 @@ def validate(feature_fn, params, val_loader, gallery_dict):
     for batch in val_loader:
         feas = np.asarray(feature_fn(params, jnp.asarray(batch["image"])))
         meter.update(feas, batch["input_path"], gallery_feas, keys)
-    print(meter)
+    if chief:
+        print(meter)
     return meter.overall()
+
+
+def host_local_params(state, nproc: int):
+    """Params usable in per-host (non-global) programs: replicated global
+    arrays are fully addressable, so device_get is a local copy."""
+    return jax.device_get(state.net.params) if nproc > 1 else state.net.params
 
 
 def main():
     args = parse_args()
+    if args.multihost:
+        jax.distributed.initialize()  # TPU pods auto-detect coordinates
     mesh = make_mesh()
     n_dev = len(mesh.devices.flatten())
-    check_batch_divisible(args.batch_size, n_dev, flag="--batch_size")
+    rank, nproc = jax.process_index(), jax.process_count()
+    is_chief = rank == 0
+    check_batch_divisible(args.batch_size, n_dev, flag="--batch-size")
+    # multi-host: --batch-size stays the GLOBAL batch, like the trainers —
+    # each process loads a disjoint 1/nproc slice of the identically-seeded
+    # shuffled epoch and shard_batch assembles the global arrays.
+    local_bs = args.batch_size // nproc
+    if nproc > 1 and is_chief:
+        print(f"multi-host: {nproc} processes, {local_bs} images/host")
 
     pretrained = None
     if args.model_path and os.path.exists(args.model_path):
-        print(f"loading pretrained LightCNN from {args.model_path}")
+        if is_chief:
+            print(f"loading pretrained LightCNN from {args.model_path}")
         pretrained = load_pth(args.model_path, "lightcnn")
     model, state, tx = create_lightcnn_train_state(
         jax.random.PRNGKey(args.seed), num_classes=args.num_classes,
@@ -94,15 +124,19 @@ def main():
     val_ds = LightCNNDataset(args.dataroot, "test", crop=args.crop,
                              load_size=args.load_size, aug=False,
                              seed=args.seed)
-    train_loader = DataLoader(train_ds, batch_size=args.batch_size,
-                              shuffle=True, drop_last=True, seed=args.seed)
-    val_loader = DataLoader(val_ds, batch_size=args.batch_size, shuffle=False)
+    train_loader = DataLoader(train_ds, batch_size=local_bs,
+                              shuffle=True, drop_last=True, seed=args.seed,
+                              process_shard=(rank, nproc) if nproc > 1 else None)
+    # val loader is NOT process-sharded: validate() runs host-locally on the
+    # full set (see its docstring), so every host needs every val image
+    val_loader = DataLoader(val_ds, batch_size=local_bs, shuffle=False)
 
     step_fn = make_lightcnn_train_step(model, tx)
     feature_fn = make_lightcnn_feature_fn(model)
     state = replicate(state, mesh)
 
-    validate(feature_fn, state.net.params, val_loader, val_ds.gallery_dict)
+    validate(feature_fn, host_local_params(state, nproc), val_loader,
+             val_ds.gallery_dict, chief=is_chief)
 
     rng = jax.random.PRNGKey(args.seed + 1)
     it = 0
@@ -118,13 +152,17 @@ def main():
             rng, drng = jax.random.split(rng)
             state, metrics = step_fn(state, fb, drng)
             it += 1
-            if it % max(args.print_freq // args.batch_size, 1) == 0:
+            if is_chief and it % max(args.print_freq // args.batch_size, 1) == 0:
                 m = jax.device_get(metrics)
                 print(f"epoch {epoch} it {it}: loss {float(m['loss']):.4f} "
                       f"top1 {float(m['top1']):.3f} top5 {float(m['top5']):.3f}")
-        print(f"epoch {epoch} done in {time.time() - t0:.0f}s (lr {lr:.2e})")
-        validate(feature_fn, state.net.params, val_loader, val_ds.gallery_dict)
+        if is_chief:
+            print(f"epoch {epoch} done in {time.time() - t0:.0f}s (lr {lr:.2e})")
+        validate(feature_fn, host_local_params(state, nproc), val_loader,
+                 val_ds.gallery_dict, chief=is_chief)
 
+        # orbax save_tree is a COLLECTIVE in multi-process runs (every host
+        # calls it; see train_ffwm.py); only the .pth export is chief-only
         host = jax.device_get(state)
         # epoch % 5 == 0 with the {epoch+1} name (-> 1, 6, 11, ...) is the
         # reference's own cadence, preserved verbatim
@@ -134,8 +172,9 @@ def main():
         if epoch % 5 == 0:
             save_tree(args.save_path, "", f"lightCNN_{epoch + 1}_checkpoint",
                       host.net.variables)
-            save_pth(host.net.variables, "lightcnn",
-                     join(args.save_path, f"lightCNN_{epoch + 1}_checkpoint.pth"))
+            if is_chief:
+                save_pth(host.net.variables, "lightcnn",
+                         join(args.save_path, f"lightCNN_{epoch + 1}_checkpoint.pth"))
         save_tree(args.save_path, "", "lightCNN_latest_checkpoint",
                   host.net.variables)
 

@@ -132,6 +132,84 @@ print(f"proc {proc_id} TRAIN OK")
 """
 
 
+FINETUNE_WORKER = r"""
+import os, sys
+proc_id = int(sys.argv[1]); coord = sys.argv[2]
+dataroot = sys.argv[3]; save = sys.argv[4]; cache = sys.argv[5]
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count=4"
+    " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+    " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=proc_id)
+# warm the cross-process gloo communicator on the SAME 8-device mesh the
+# train step will use (see TRAIN_WORKER for the measured rationale)
+import numpy as np
+from ffwm_tpu.parallel import make_host_array, make_mesh
+_mesh = make_mesh()
+_warm = make_host_array((8, 1), _mesh, np.ones((4, 1), np.float32))
+assert float(jax.device_get(jax.jit(lambda x: x.sum())(_warm))) == 8.0
+print(f"proc {proc_id} gloo communicator warm")
+import finetune_lightcnn
+sys.argv = ["finetune_lightcnn.py", "--dataroot", dataroot,
+            "--save_path", save, "--batch-size", "8", "--epochs", "1",
+            "--num_classes", "8", "--load_size", "64", "--print-freq", "8",
+            "--seed", "0"]
+finetune_lightcnn.main()
+print(f"proc {proc_id} FINETUNE OK")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_finetune_lightcnn_cli(tmp_path, dataroot):
+    """finetune_lightcnn.py across two OS processes (VERDICT r3 #6): the
+    train epoch is process-sharded and globally batched like the main
+    trainers; validation runs host-locally on every process with chief-only
+    printing; orbax saves are cross-process collectives, .pth chief-only."""
+    worker = tmp_path / "finetune_worker.py"
+    worker.write_text(FINETUNE_WORKER)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from ffwm_tpu.hostcache import host_fingerprint
+
+    cache = os.path.join(repo, ".jax_cache", "host-" + host_fingerprint())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = repo
+    save = str(tmp_path / "lcnn_mh")
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), coord, dataroot, save, cache],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        cwd=repo, env=env, text=True) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1500)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
+        assert f"proc {i} FINETUNE OK" in out, out[-2000:]
+    assert "multi-host: 2 processes, 4 images/host" in outs[0]
+    # chief-only validation printout (per-camera rank-1 lines)
+    assert "090: [" in outs[0]
+    assert "090: [" not in outs[1]
+    # collective orbax saves landed; .pth exported once by the chief
+    assert os.path.isdir(os.path.join(save, "lightCNN_1_checkpoint.ckpt"))
+    assert os.path.exists(os.path.join(save, "lightCNN_1_checkpoint.pth"))
+
+
 @pytest.mark.slow
 def test_two_process_flow_training_cli(tmp_path, dataroot):
     """The REAL multi-host path end-to-end: train_flow.py in two OS

@@ -126,6 +126,26 @@ def main():
                 best, best_b = ips, batch
         results[name] = (best, best_b)
 
+    # Training throughput (VERDICT r3 #5): short chained-step runs of the
+    # real jitted GAN and flow train steps, so a train-perf regression is
+    # driver-visible, not only in BASELINE.md prose. Reuses the train_bench
+    # machinery; programs live in the same committed compile cache.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tools"))
+    train = {}
+    from train_bench import bench_ffwm, bench_flow
+
+    for key, fn in (
+            ("train_img_s", lambda: bench_ffwm(batch=16, bf16=True)),
+            ("train_fp32_img_s", lambda: bench_ffwm(batch=8)),
+            ("flow_train_img_s", lambda: bench_flow(batch=16, bf16=True)),
+            ("flow_train_fp32_img_s", lambda: bench_flow(batch=6))):
+        try:
+            train[key] = round(fn(), 2)
+        except Exception as e:  # train bench must never sink the driver bench
+            print(f"# {key}: {type(e).__name__}: {e}", file=sys.stderr)
+            train[key] = None
+
     value = results["fp32"][0]
     print(json.dumps({
         "metric": "128x128 frontalized faces/sec/chip (flowNetF+netG+GF inference)",
@@ -138,6 +158,7 @@ def main():
         "bf16_batch": results["bf16"][1],
         "iters_chained": ITERS,
         "device": f"{dev.platform}:{dev.device_kind}",
+        **train,
     }))
 
 

@@ -13,9 +13,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-
-jax.config.update("jax_compilation_cache_dir", "/tmp/ffwm_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,8 +46,10 @@ def bench_ffwm(batch=8, s=128, bf16=False):
         state, m = step(state, batch_d, frozen)
     jax.device_get(m["loss_G"])
     dt = (time.perf_counter() - t0) / STEPS
-    print(f"ffwm train step b={batch}{' bf16' if bf16 else ''}: {dt * 1e3:.1f} ms/step -> "
-          f"{batch / dt:.1f} img/s", flush=True)
+    print(f"# ffwm train step b={batch}{' bf16' if bf16 else ''}: "
+          f"{dt * 1e3:.1f} ms/step -> {batch / dt:.1f} img/s",
+          file=sys.stderr, flush=True)
+    return batch / dt
 
 
 def bench_flow(batch=6, s=128, bf16=False):
@@ -79,11 +78,15 @@ def bench_flow(batch=6, s=128, bf16=False):
         state, m = step(state, batch_d, vgg_vars)
     jax.device_get(m["loss"])
     dt = (time.perf_counter() - t0) / STEPS
-    print(f"flow train step b={batch}{' bf16' if bf16 else ''}: {dt * 1e3:.1f} ms/step -> "
-          f"{batch / dt:.1f} img/s", flush=True)
+    print(f"# flow train step b={batch}{' bf16' if bf16 else ''}: "
+          f"{dt * 1e3:.1f} ms/step -> {batch / dt:.1f} img/s",
+          file=sys.stderr, flush=True)
+    return batch / dt
 
 
 if __name__ == "__main__":
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ffwm_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     dev = jax.devices()[0]
     print(f"# device: {dev.platform} {dev.device_kind}", flush=True)
     args = set(sys.argv[1:]) or {"flow", "ffwm"}

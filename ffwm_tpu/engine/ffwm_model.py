@@ -187,7 +187,8 @@ def _g_forward(models: FFWMModels, flow_f: NetState, flow_b: NetState,
 def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
                          gan_mode: str = "lsgan", remat_frozen: bool = True,
                          compute_dtype=None, loss_families=None,
-                         batch_frozen: bool = True):
+                         batch_frozen: bool = True, ablate=(),
+                         adjoint_chunk=None):
     """Returns jitted step(state, batch, frozen) -> (state, metrics).
 
     batch: img_S, img_F [B,128,128,3]; lm_F [B,580,2] int; mask_S, mask_F
@@ -217,6 +218,20 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
     batch-invariant; the small per-call batches underfill the MXU, see
     BASELINE.md round-3 profile). False = one application per branch like
     the reference's call structure (ablation/debug).
+
+    ablate: PROFILING-ONLY structural ablations of the G-backward block
+    (tools/profile_train.py; never production):
+      "flow_bwd"      — stop_gradient on both flownets' params: their
+                        backward becomes dead code (XLA DCE) while Adam
+                        still runs (on zeros), so the marginal vs full is
+                        the flownet backward alone;
+      "adam"          — grads computed but no optimizer update applied
+                        (marginal = the 3 Adam update+apply trees);
+      "image_adjoint" — warp image adjoints replaced by a near-free
+                        surrogate that keeps downstream backward alive
+                        (ops.warp.cheap_image_adjoint).
+    adjoint_chunk: override the warp image-adjoint lax.scan chunk size
+    (default ops.warp._ADJOINT_CHUNK; sweep knob).
     """
     tx_g, tx_f, tx_d = txs
     fams = (frozenset(("l1", "prc", "illu", "iden", "adv", "fc"))
@@ -254,6 +269,9 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
         return loss, NetState(params=disc.params, extra=to_f32(disc.extra))
 
     def g_loss_fn(gfb_params, extras, disc: NetState, batch, frozen, titers):
+        if "flow_bwd" in ablate:  # profiling only, see docstring
+            gfb_params = (jax.lax.stop_gradient(gfb_params[0]),
+                          jax.lax.stop_gradient(gfb_params[1]), gfb_params[2])
         gfb_params = cast(gfb_params)  # extras stay fp32 (see d_loss_fn)
         disc = NetState(params=cast(disc.params), extra=disc.extra)
         batch = dict(batch, **cast({k: batch[k] for k in
@@ -393,12 +411,18 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
             g_loss_fn, has_aux=True)(
             gfb_params, extras, disc_new, batch, frozen, state.titers)
 
-        g_updates, new_opt_g = tx_g.update(grads[2], state.opt_g, state.gen.params)
-        gen_params_new = optax.apply_updates(state.gen.params, g_updates)
         f_grads = (grads[0], grads[1])
         f_params = (state.flow_f.params, state.flow_b.params)
-        f_updates, new_opt_f = tx_f.update(f_grads, state.opt_f, f_params)
-        ff_new, fb_new = optax.apply_updates(f_params, f_updates)
+        if "adam" in ablate:  # profiling only: grads computed, no update
+            gen_params_new = state.gen.params
+            ff_new, fb_new = f_params
+            new_opt_g, new_opt_f = state.opt_g, state.opt_f
+        else:
+            g_updates, new_opt_g = tx_g.update(grads[2], state.opt_g,
+                                               state.gen.params)
+            gen_params_new = optax.apply_updates(state.gen.params, g_updates)
+            f_updates, new_opt_f = tx_f.update(f_grads, state.opt_f, f_params)
+            ff_new, fb_new = optax.apply_updates(f_params, f_updates)
 
         # per-optimizer global grad norms (diagnose_network equivalent,
         # util/util.py:73-89; compared against torch autograd by the
@@ -425,7 +449,16 @@ def make_ffwm_train_step(models: FFWMModels, txs, crop_identity: bool = False,
         # use the same gather formulation, and the Mosaic window dumps
         # break fusion in the differentiated program (96 -> 106 ms/step
         # measured). Trace-time flag, see ops.warp._MOSAIC_WARP.
-        with disable_mosaic_warp():
+        from contextlib import ExitStack
+
+        from ffwm_tpu.ops.warp import adjoint_chunk_config, cheap_image_adjoint
+
+        with ExitStack() as ctx:
+            ctx.enter_context(disable_mosaic_warp())
+            if adjoint_chunk is not None:
+                ctx.enter_context(adjoint_chunk_config(adjoint_chunk))
+            if "image_adjoint" in ablate:
+                ctx.enter_context(cheap_image_adjoint())
             return train_step(state, batch, frozen)
 
     return step

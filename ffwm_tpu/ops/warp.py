@@ -203,6 +203,45 @@ class disable_mosaic_warp:
         return False
 
 
+# Trace-time knobs for profiling the warp image adjoint inside the big
+# differentiated train programs (tools/profile_train.py). Like
+# _MOSAIC_WARP these are read during tracing; every profiled variant
+# traces a FRESH step factory, so the ambient value is baked per variant.
+_ADJOINT_CHUNK = [2048]  # lax.scan pixel-chunk size of _image_adjoint_matmul
+_CHEAP_IMAGE_ADJOINT = [False]
+
+
+class adjoint_chunk_config:
+    """Context manager: trace enclosed jits with the given adjoint chunk."""
+
+    def __init__(self, chunk: int):
+        self._chunk = chunk
+
+    def __enter__(self):
+        self._prev = _ADJOINT_CHUNK[0]
+        _ADJOINT_CHUNK[0] = self._chunk
+
+    def __exit__(self, *exc):
+        _ADJOINT_CHUNK[0] = self._prev
+        return False
+
+
+class cheap_image_adjoint:
+    """Context manager: replace the warp image adjoint with a near-free
+    surrogate (pixel-mean broadcast of the cotangent). WRONG numerics — the
+    surrogate keeps the data dependency alive so everything downstream of
+    d_image (encoder/generator backward) still executes, isolating just the
+    adjoint matmuls' marginal cost in an ablation profile."""
+
+    def __enter__(self):
+        self._prev = _CHEAP_IMAGE_ADJOINT[0]
+        _CHEAP_IMAGE_ADJOINT[0] = True
+
+    def __exit__(self, *exc):
+        _CHEAP_IMAGE_ADJOINT[0] = self._prev
+        return False
+
+
 def _patch_forward(image: jax.Array, grid: jax.Array, align_corners: bool,
                    use_mosaic: bool) -> jax.Array:
     """Forward dispatch: compiled Mosaic kernel on TPU for full-raster
@@ -238,7 +277,14 @@ def _gsp_fwd(image, grid, align_corners, use_mosaic):
 def _gsp_bwd(align_corners, use_mosaic, res, g):
     image, grid = res
     h, w = image.shape[1:3]
-    d_image = _image_adjoint_matmul(g, grid, h, w, align_corners)
+    if _CHEAP_IMAGE_ADJOINT[0]:
+        b, _, _, c = image.shape
+        d_image = jnp.broadcast_to(
+            jnp.mean(g, axis=(1, 2), keepdims=True), (b, h, w, c)
+        ).astype(g.dtype)
+    else:
+        d_image = _image_adjoint_matmul(g, grid, h, w, align_corners,
+                                        chunk=_ADJOINT_CHUNK[0])
     # grid gradient: autodiff of the gather forward (gathers, no scatters)
     _, vjp_grid = jax.vjp(
         lambda gr: _grid_sample_patch(jax.lax.stop_gradient(image), gr,

@@ -88,6 +88,12 @@ def main():
         want = ({"full", "remat_off", "bf16", "bf16_remat_off", "b16",
                  "bf16_b16", "d_only", "fwd_only", "unbatched_frozen"}
                 | {f"no_{f}" for f in ALL_FAMS})
+    if "gbwd" in want:
+        # VERDICT r3 #4: open the G-backward block (full - (fwd + D pass)):
+        # flownet backward, warp image adjoints, G+F Adam updates, plus the
+        # adjoint chunk sweep
+        want |= {"full", "no_flow_bwd", "no_adam", "cheap_adjoint",
+                 "chunk512", "chunk1024", "chunk4096", "chunk8192"}
 
     from ffwm_tpu.engine import make_ffwm_train_step
     from ffwm_tpu.engine.ffwm_model import _g_forward
@@ -114,6 +120,26 @@ def main():
                 models, txs, loss_families=set(ALL_FAMS) - {fam})
             report(f"no_{fam}", time_step(step, fresh_state(), batch, frozen),
                    b, base)
+
+    # ---- G-backward block breakdown (structural ablations; see
+    # make_ffwm_train_step's `ablate` docstring for what each removes)
+    if "no_flow_bwd" in want:
+        step = make_ffwm_train_step(models, txs, ablate=("flow_bwd",))
+        report("no_flow_bwd",
+               time_step(step, fresh_state(), batch, frozen), b, base)
+    if "no_adam" in want:
+        step = make_ffwm_train_step(models, txs, ablate=("adam",))
+        report("no_adam_GF",
+               time_step(step, fresh_state(), batch, frozen), b, base)
+    if "cheap_adjoint" in want:
+        step = make_ffwm_train_step(models, txs, ablate=("image_adjoint",))
+        report("cheap_image_adjoint",
+               time_step(step, fresh_state(), batch, frozen), b, base)
+    for ch in (512, 1024, 4096, 8192):
+        if f"chunk{ch}" in want:
+            step = make_ffwm_train_step(models, txs, adjoint_chunk=ch)
+            report(f"adjoint_chunk{ch}",
+                   time_step(step, fresh_state(), batch, frozen), b, base)
 
     if "d_only" in want:
         # all G losses removed: forward + D update + (trivial) G/F update

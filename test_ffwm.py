@@ -76,10 +76,20 @@ def main():
     lc_path = opt.lightcnn
     if os.path.exists(lc_path):
         print(f"loading lightCNN from {lc_path}")
-        lc_vars = (load_pth(lc_path, "lightcnn", lc_init)
+        # no target template: the extractor accepts any classifier head
+        # width (num_classes only shapes the unused logits — reference
+        # test() reads the 256-d fc feature, models/ffwm_model.py:196-202);
+        # the module is rebuilt to the checkpoint's head width because flax
+        # validates param shapes at apply
+        lc_vars = (load_pth(lc_path, "lightcnn")
                    if lc_path.endswith(".pth") else
                    restore_tree(os.path.dirname(lc_path), "",
-                                os.path.basename(lc_path), target=lc_init))
+                                os.path.basename(lc_path)))
+        from ffwm_tpu.models import LightCNN29
+
+        ncls = int(np.asarray(lc_vars["params"]["fc2"]["bias"]).shape[0])
+        if ncls != models.lightcnn.num_classes:
+            models = models._replace(lightcnn=LightCNN29(num_classes=ncls))
     else:
         print("WARNING: lightCNN checkpoint missing; rank-1 numbers are "
               "meaningless (random identity features)")

@@ -47,8 +47,17 @@ from ffwm_tpu.parallel import (
 from ffwm_tpu.utils import Visualizer
 
 
-def load_net_vars(path: str, kind: str, init_vars, what: str):
-    """Load from an orbax checkpoint dir or a torch .pth; None if missing."""
+def load_net_vars(path: str, kind: str, init_vars, what: str,
+                  validate: bool = True):
+    """Load from an orbax checkpoint dir or a torch .pth; None if missing.
+
+    validate=False loads with the CHECKPOINT's shapes instead of validating
+    against init_vars — used for the frozen LightCNN, whose classifier head
+    width (num_classes) is irrelevant to the identity features and may
+    legitimately differ from the 79077-way default (e.g. a finetune run on
+    a smaller label set; reference FFWM equally never uses the logits,
+    models/ffwm_model.py:196-202).
+    """
     if not path:
         return None
     import orbax.checkpoint as ocp
@@ -57,12 +66,17 @@ def load_net_vars(path: str, kind: str, init_vars, what: str):
         p = path if os.path.isdir(path) else path + ".ckpt"
         ckptr = ocp.StandardCheckpointer()
         print(f"loading {what} from {p}")
+        # abspath: orbax rejects relative paths, and the CLI defaults are
+        # cwd-relative ./checkpoints/... like the reference's
+        p = os.path.abspath(p)
+        if not validate:
+            return ckptr.restore(p)
         return ckptr.restore(p, target=jax.tree.map(np.asarray, init_vars))
     if os.path.exists(path) and path.endswith(".pth"):
         from ffwm_tpu.utils.convert import load_pth
 
         print(f"loading {what} from {path}")
-        return load_pth(path, kind, init_vars)
+        return load_pth(path, kind, init_vars if validate else None)
     print(f"WARNING: {what} checkpoint not found at {path}; random init")
     return None
 
@@ -115,8 +129,21 @@ def main():
         lr_g=opt.lr, lr_d=opt.lr,
         flow_f_vars=flow_f_vars, flow_b_vars=flow_b_vars)
 
-    lc_init = models.lightcnn.init(jax.random.PRNGKey(1), jnp.zeros((1, s, s, 1)))
-    lc_vars = load_net_vars(opt.lightcnn, "lightcnn", lc_init, "lightCNN") or lc_init
+    lc_vars = load_net_vars(opt.lightcnn, "lightcnn", None, "lightCNN",
+                            validate=False)
+    if lc_vars is not None:
+        # the frozen extractor must match the CHECKPOINT's classifier head
+        # width (flax validates param shapes at apply); num_classes only
+        # shapes the unused logits — the identity loss reads the 256-d fc
+        # feature like the reference (models/ffwm_model.py:196-202)
+        from ffwm_tpu.models import LightCNN29
+
+        ncls = int(np.asarray(lc_vars["params"]["fc2"]["bias"]).shape[0])
+        if ncls != models.lightcnn.num_classes:
+            models = models._replace(lightcnn=LightCNN29(num_classes=ncls))
+    else:
+        lc_vars = models.lightcnn.init(jax.random.PRNGKey(1),
+                                       jnp.zeros((1, s, s, 1)))
     vgg_init = models.vgg.init(jax.random.PRNGKey(2), jnp.zeros((1, s, s, 3)))
     if opt.vgg and os.path.exists(opt.vgg):
         from ffwm_tpu.utils.convert import load_pth as _lp

@@ -32,18 +32,42 @@ N_LANDMARKS = 580
 
 def _face_like(rng: np.random.RandomState, size: int, identity_seed: int,
                shift: int) -> np.ndarray:
-    """A deterministic face-ish blob: identity-colored ellipse + eyes/mouth,
-    horizontally shifted by pose."""
+    """A deterministic face-ish blob, horizontally shifted by pose.
+
+    Identity cues are GRAYSCALE-separable — luminance, geometry (face/eye/
+    mouth shape), and identity-keyed high-contrast "moles" — because the
+    eval pipeline's LightCNN sees channel-mean gray (reference
+    ffwm_model.py:196, lightcnn/dataset.py:62). An earlier variant that
+    differed only in RGB tint collapsed 8 identities to ~7%-apart gray
+    levels, capping the round-4 overfit proof's rank-1 near chance."""
     img = np.zeros((size, size, 3), np.uint8)
     id_rng = np.random.RandomState(identity_seed)
-    skin = tuple(int(c) for c in id_rng.randint(80, 220, 3))
+    base_l = int(id_rng.randint(90, 210))
+    skin = tuple(int(np.clip(base_l + t, 60, 235))
+                 for t in id_rng.randint(-25, 26, 3))
+    ax = size // 3 + int(id_rng.randint(-size // 12, size // 12 + 1))
+    ay = size // 2 - 8 + int(id_rng.randint(-size // 12, size // 12 + 1))
     cx, cy = size // 2 + shift, size // 2
-    cv2.ellipse(img, (cx, cy), (size // 3, size // 2 - 8), 0, 0, 360, skin, -1)
-    eye = tuple(int(c) for c in id_rng.randint(0, 80, 3))
-    cv2.circle(img, (cx - size // 8, cy - size // 8), size // 20, eye, -1)
-    cv2.circle(img, (cx + size // 8, cy - size // 8), size // 20, eye, -1)
-    cv2.ellipse(img, (cx, cy + size // 6), (size // 10, size // 24), 0, 0, 360,
-                (150, 40, 40), -1)
+    cv2.ellipse(img, (cx, cy), (ax, ay), 0, 0, 360, skin, -1)
+    eye_dx = size // 8 + int(id_rng.randint(-size // 24, size // 24 + 1))
+    eye_dy = size // 8 + int(id_rng.randint(-size // 24, size // 24 + 1))
+    eye_r = size // 24 + int(id_rng.randint(1, size // 24 + 1))
+    eye = (int(id_rng.randint(0, 60)),) * 3
+    for sx in (-1, 1):
+        cv2.circle(img, (cx + sx * eye_dx, cy - eye_dy), eye_r, eye, -1)
+    mouth_w = size // 12 + int(id_rng.randint(0, size // 16 + 1))
+    mouth_h = size // 28 + int(id_rng.randint(0, size // 24 + 1))
+    mouth = (int(id_rng.randint(20, 100)),) * 3
+    cv2.ellipse(img, (cx, cy + size // 6), (mouth_w, mouth_h), 0, 0, 360,
+                mouth, -1)
+    # 3 identity-keyed moles: high-contrast marks at identity-specific spots
+    # — rank-1 then requires the generator to place them correctly, tying
+    # the metric to actual frontalization rather than mean brightness
+    for _ in range(3):
+        mx = cx + int(id_rng.randint(-ax // 2, ax // 2 + 1))
+        my = cy + int(id_rng.randint(-ay // 2, ay // 2 + 1))
+        mole = (int(id_rng.randint(0, 256)),) * 3
+        cv2.circle(img, (mx, my), max(2, size // 28), mole, -1)
     noise = rng.randint(0, 12, (size, size, 3), np.uint8)
     return cv2.add(img, noise)
 
@@ -52,6 +76,20 @@ def _landmarks(rng: np.random.RandomState, size: int, shift: int) -> np.ndarray:
     base = rng.randint(size // 4, 3 * size // 4, (N_LANDMARKS, 2))
     base[:, 0] = np.clip(base[:, 0] + shift, 0, size - 1)
     return base.astype(np.int64)
+
+
+def _landmark_pair(rng: np.random.RandomState, size: int, shift: int):
+    """Geometrically CONSISTENT (lm_S, lm_F): the same frontal points with
+    the profile copy offset by the pose shift — matching how the profile
+    image itself is generated (the blob shifted by `shift`). Independent
+    draws would make the landmark loss supervise a noise mapping, leaving
+    the flow nets unlearnable on synthetic data (and the illumination loss
+    fighting reconstruction, measured in the round-4 overfit proof)."""
+    base = rng.randint(size // 4, 3 * size // 4, (N_LANDMARKS, 2))
+    lm_f = base.astype(np.int64)
+    lm_s = lm_f.copy()
+    lm_s[:, 0] = np.clip(lm_s[:, 0] + shift, 0, size - 1)
+    return lm_s, lm_f
 
 
 def make_synthetic_multipie(root: str, n_ids: int = 4,
@@ -78,8 +116,7 @@ def make_synthetic_multipie(root: str, n_ids: int = 4,
                 cv2.circle(mask, (size // 2 + shift, size // 2), size // 3, 255, -1)
                 cv2.imwrite(join(mask_dir, fname), mask)
                 key = fname[:-7]
-                lm_s[key] = _landmarks(rng, size, shift)
-                lm_f[key] = _landmarks(rng, size, 0)
+                lm_s[key], lm_f[key] = _landmark_pair(rng, size, shift)
                 gates[key] = (rng.rand(N_LANDMARKS) > 0.2).astype(np.float32)
                 if split == "train":
                     names.append(fname)

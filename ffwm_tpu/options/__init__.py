@@ -60,6 +60,13 @@ def train_parser(model: str = "ffwm") -> argparse.ArgumentParser:
     p.add_argument("--print_freq", type=int, default=400)
     p.add_argument("--display_freq", type=int, default=6400)
     p.add_argument("--save_epoch_freq", type=int, default=2)
+    p.add_argument("--save_latest_freq", type=int, default=1,
+                   help="epochs between 'latest' checkpoint saves. 1 = the "
+                        "reference cadence (every epoch, train_ffwm.py:94). "
+                        "Raise it on slow-interconnect dev setups: the "
+                        "full-state save device_gets the whole params+Adam "
+                        "tree, which costs minutes per epoch through a "
+                        "tunneled chip. The final epoch always saves")
     p.add_argument("--save_by_iter", action="store_true",
                    help="accepted for compatibility; unused — the reference "
                         "declares it (options/train_options.py:24) but its "

@@ -74,7 +74,11 @@ def main():
     flow_vars = load_variables(opt, "flowNetF", "flownet", flow_init)
     gen_vars = load_variables(opt, "netG", "ffwm", gen_init)
     lc_path = opt.lightcnn
-    if os.path.exists(lc_path):
+    # accept an orbax dir with or without its .ckpt suffix (restore_tree
+    # appends the suffix itself), same as the trainers' load_net_vars
+    if lc_path.endswith(".ckpt"):
+        lc_path = lc_path[:-len(".ckpt")]
+    if os.path.exists(lc_path) or os.path.isdir(lc_path + ".ckpt"):
         print(f"loading lightCNN from {lc_path}")
         # no target template: the extractor accepts any classifier head
         # width (num_classes only shapes the unused logits — reference

@@ -256,13 +256,18 @@ def main():
         # syncs processes internally; the primary host writes the data), so
         # EVERY host calls save_tree — only logs and .pth exports are
         # chief-only (see train_flow.py for the measured deadlock).
-        host_state = jax.device_get(state)
-        for net, tag in (("gen", "netG"), ("disc", "netD"),
-                         ("flow_f", "flowNetF"), ("flow_b", "flowNetB")):
-            save_tree(opt.checkpoints_dir, opt.name, f"latest_net_{tag}",
-                      getattr(host_state, net).variables)
-        save_tree(opt.checkpoints_dir, opt.name, "latest_state", host_state)
-        if epoch % opt.save_epoch_freq == 0:
+        save_latest = (epoch % opt.save_latest_freq == 0
+                       or epoch == opt.niter + opt.niter_decay)
+        save_epoch = epoch % opt.save_epoch_freq == 0
+        if save_latest or save_epoch:  # one D2H fetch serves both saves
+            host_state = jax.device_get(state)
+        if save_latest:
+            for net, tag in (("gen", "netG"), ("disc", "netD"),
+                             ("flow_f", "flowNetF"), ("flow_b", "flowNetB")):
+                save_tree(opt.checkpoints_dir, opt.name, f"latest_net_{tag}",
+                          getattr(host_state, net).variables)
+            save_tree(opt.checkpoints_dir, opt.name, "latest_state", host_state)
+        if save_epoch:
             if is_chief:
                 print(f"saving the model at the end of epoch {epoch}, "
                       f"iters {total_iters}")

@@ -180,16 +180,21 @@ def main():
         # EVERY host calls save_tree — only logs and the .pth export are
         # chief-only. Chief-gating the saves deadlocks the other hosts'
         # next collective (measured: gloo /0,2048/1 rendezvous timeout).
-        net_vars = jax.device_get(state.net.variables)
-        save_tree(opt.checkpoints_dir, opt.name, "latest_net_flowNet", net_vars)
-        save_tree(opt.checkpoints_dir, opt.name, "latest_state",
-                  jax.device_get(state))
-        if epoch % opt.save_epoch_freq == 0:
+        save_latest = (epoch % opt.save_latest_freq == 0
+                       or epoch == opt.niter + opt.niter_decay)
+        save_epoch = epoch % opt.save_epoch_freq == 0
+        if save_latest or save_epoch:  # one D2H fetch serves both saves
+            host_state = jax.device_get(state)
+            net_vars = host_state.net.variables
+        if save_latest:
+            save_tree(opt.checkpoints_dir, opt.name, "latest_net_flowNet", net_vars)
+            save_tree(opt.checkpoints_dir, opt.name, "latest_state", host_state)
+        if save_epoch:
             if is_chief:
                 print(f"saving the model at the end of epoch {epoch}")
             save_tree(opt.checkpoints_dir, opt.name, f"{epoch}_net_flowNet", net_vars)
             save_tree(opt.checkpoints_dir, opt.name, f"{epoch}_state",
-                      jax.device_get(state))
+                      host_state)
             if is_chief:
                 save_pth(net_vars, "flownet",
                          os.path.join(opt.checkpoints_dir, opt.name,

@@ -72,12 +72,6 @@ def _face_like(rng: np.random.RandomState, size: int, identity_seed: int,
     return cv2.add(img, noise)
 
 
-def _landmarks(rng: np.random.RandomState, size: int, shift: int) -> np.ndarray:
-    base = rng.randint(size // 4, 3 * size // 4, (N_LANDMARKS, 2))
-    base[:, 0] = np.clip(base[:, 0] + shift, 0, size - 1)
-    return base.astype(np.int64)
-
-
 def _landmark_pair(rng: np.random.RandomState, size: int, shift: int):
     """Geometrically CONSISTENT (lm_S, lm_F): the same frontal points with
     the profile copy offset by the pose shift — matching how the profile

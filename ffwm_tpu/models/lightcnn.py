@@ -138,3 +138,27 @@ def grayscale(img: jnp.ndarray) -> jnp.ndarray:
     """Channel-mean grayscale — LightCNN input convention everywhere in the
     reference (models/ffwm_model.py:196, models/losses.py:91-93)."""
     return jnp.mean(img, axis=-1, keepdims=True)
+
+
+def checkpoint_num_classes(lc_vars, what: str = "lightCNN") -> int:
+    """Classifier-head width of a loaded LightCNN checkpoint.
+
+    v2-style heads are bias-free (reference lightcnn/light_cnn.py:131-174 /
+    LightCNN29v2 above), so fall back to the kernel's output dim. Raises a
+    clear error naming the checkpoint when fc2 is missing entirely —
+    otherwise the mismatch would surface only at apply time deep inside the
+    jitted train step.
+    """
+    import numpy as np
+
+    try:
+        fc2 = lc_vars["params"]["fc2"]
+    except (KeyError, TypeError):
+        raise ValueError(
+            f"{what} checkpoint has no params/fc2 classifier head — is this "
+            "a LightCNN checkpoint? (keys: "
+            f"{sorted(lc_vars.get('params', {}))[:8]}...)") from None
+    arr = fc2.get("bias", fc2.get("kernel"))
+    if arr is None:
+        raise ValueError(f"{what} checkpoint fc2 has neither bias nor kernel")
+    return int(np.asarray(arr).shape[-1])

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 
 def base_parser(phase: str) -> argparse.ArgumentParser:
@@ -61,8 +62,11 @@ def train_parser(model: str = "ffwm") -> argparse.ArgumentParser:
     p.add_argument("--display_freq", type=int, default=6400)
     p.add_argument("--save_epoch_freq", type=int, default=2)
     p.add_argument("--save_latest_freq", type=int, default=1,
-                   help="epochs between 'latest' checkpoint saves. 1 = the "
-                        "reference cadence (every epoch, train_ffwm.py:94). "
+                   help="EPOCHS between 'latest' checkpoint saves — NOTE the "
+                        "unit differs from the reference, whose flag of the "
+                        "same name counts ITERATIONS (default 5000, "
+                        "train_options.py:12); here 1 = the reference's "
+                        "effective cadence (every epoch, train_ffwm.py:94). "
                         "Raise it on slow-interconnect dev setups: the "
                         "full-state save device_gets the whole params+Adam "
                         "tree, which costs minutes per epoch through a "
@@ -146,6 +150,13 @@ def print_and_save(opt: argparse.Namespace, phase: str,
     if getattr(opt, "suffix", ""):
         suffix = ("_" + opt.suffix.format(**vars(opt)))
         opt.name = opt.name + suffix
+    # a reference-style --save_latest_freq 5000 (ITERATIONS there) would
+    # silently mean "save every 5000 EPOCHS" here = never; warn loudly
+    if chief and getattr(opt, "save_latest_freq", 0) > 100:
+        print(f"WARNING: --save_latest_freq {opt.save_latest_freq} counts "
+              "EPOCHS in ffwm_tpu (the reference's flag counts iterations); "
+              "'latest' will effectively only be written at the final epoch",
+              file=sys.stderr)
     if not chief:
         return
     msg = "----------------- Options ---------------\n"

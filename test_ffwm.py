@@ -90,8 +90,9 @@ def main():
                    restore_tree(os.path.dirname(lc_path), "",
                                 os.path.basename(lc_path)))
         from ffwm_tpu.models import LightCNN29
+        from ffwm_tpu.models.lightcnn import checkpoint_num_classes
 
-        ncls = int(np.asarray(lc_vars["params"]["fc2"]["bias"]).shape[0])
+        ncls = checkpoint_num_classes(lc_vars, what=lc_path)
         if ncls != models.lightcnn.num_classes:
             models = models._replace(lightcnn=LightCNN29(num_classes=ncls))
     else:

@@ -137,8 +137,9 @@ def main():
         # shapes the unused logits — the identity loss reads the 256-d fc
         # feature like the reference (models/ffwm_model.py:196-202)
         from ffwm_tpu.models import LightCNN29
+        from ffwm_tpu.models.lightcnn import checkpoint_num_classes
 
-        ncls = int(np.asarray(lc_vars["params"]["fc2"]["bias"]).shape[0])
+        ncls = checkpoint_num_classes(lc_vars, what=opt.lightcnn)
         if ncls != models.lightcnn.num_classes:
             models = models._replace(lightcnn=LightCNN29(num_classes=ncls))
     else:

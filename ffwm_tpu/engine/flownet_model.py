@@ -56,6 +56,7 @@ def make_flow_train_step(
     reverse: bool = False,
     loss_weights: Tuple[float, float] = (20.0, 0.01),
     compute_dtype=None,
+    correctness_sampling: str = "bilinear",
 ):
     """Returns jitted step(state, batch, vgg_vars) -> (state, metrics).
 
@@ -68,6 +69,10 @@ def make_flow_train_step(
     live inside the differentiated function (same recipe as the FFWM
     trainer's --bf16 path), so gradients and updates stay fp32. None = fp32
     (the parity configuration, tests/test_train_step_parity.py).
+
+    correctness_sampling: "bilinear" (reference default) or "resample2d"
+    (the reference's use_bilinear_sampling=False option,
+    models/losses.py:332,356-359).
     """
     vgg = VGG19Features(max_layer="relu3_1")
     w_cor, w_reg = loss_weights
@@ -96,7 +101,7 @@ def make_flow_train_step(
         feats = lambda img: vgg.apply(vgg_vars, img)
         loss_cor = correctness_loss(
             feats, img_f, img_s, [f32, f64, f128],
-            [2, 1, 0], norm_mask=mask,
+            [2, 1, 0], norm_mask=mask, sampling=correctness_sampling,
         ).astype(jnp.float32) * w_cor
         # Precision split, measured per-variant on v5e (BASELINE.md round-3):
         # the affine regularizer must see fp32 flows — it measures local

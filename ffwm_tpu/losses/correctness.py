@@ -17,7 +17,14 @@ Parity details preserved:
   * flows are resized to the feature resolution with **nearest** (the
     reference's F.interpolate default, models/losses.py:345),
   * masks likewise (:366),
-  * loss normalization subtracts exp(-1) (:364, :368).
+  * loss normalization subtracts exp(-1) (:364, :368),
+  * ``sampling="resample2d"`` reproduces the reference's
+    ``use_bilinear_sampling=False`` path (models/losses.py:332,356-359):
+    the warped source comes from ``Resample2d(4, 1, sigma=2)`` — INCLUDING
+    the reference quirk that the [-1,1] sampling GRID is fed to an op that
+    expects PIXEL offsets, so it samples a near-identity neighborhood
+    Gaussian-blurred with sigma=2. On TPU the compiled Mosaic kernel
+    (``resample2d_vmem``) runs this; elsewhere the XLA formulation.
 """
 
 from __future__ import annotations
@@ -75,10 +82,16 @@ def correctness_loss(
     norm_mask: Optional[jax.Array] = None,
     layers: Sequence[str] = CORRECTNESS_LAYERS,
     chunk: int = 2048,
+    sampling: str = "bilinear",
 ) -> jax.Array:
     """flow_list: sampling grids [B,h,w,2] coarsest-first ([fl32,fl64,fl128]
     with used_layers [2,1,0] in the reference flow trainer,
-    models/flownet_model.py:67)."""
+    models/flownet_model.py:67).
+
+    sampling: "bilinear" (the reference default, use_bilinear_sampling=True)
+    or "resample2d" (the reference's Resample2d(4,1,sigma=2) option)."""
+    if sampling not in ("bilinear", "resample2d"):
+        raise ValueError(f"sampling must be bilinear|resample2d, got {sampling}")
     used = sorted(used_layers, reverse=True)
     tf = feats(target)
     sf = feats(source)
@@ -96,7 +109,16 @@ def correctness_loss(
         t_norm = t_all / (jnp.linalg.norm(t_all, axis=2, keepdims=True) + _EPS)
         corr_max = _rowmax_exact(s_norm, t_norm.transpose(0, 2, 1), chunk)  # [B, M]
 
-        sampled = warp(s, fl).reshape(b, h * w, c)          # bilinear grid warp
+        if sampling == "bilinear":
+            sampled = warp(s, fl).reshape(b, h * w, c)      # bilinear grid warp
+        else:
+            # the grid is passed as-is as PIXEL offsets (reference quirk,
+            # see module docstring); Mosaic kernel on TPU, XLA elsewhere
+            if jax.default_backend() == "tpu":
+                from ffwm_tpu.ops.kernels import resample2d_vmem as _r2d
+            else:
+                from ffwm_tpu.ops.resample2d import resample2d as _r2d
+            sampled = _r2d(s, fl, 2.0, 4, 1).reshape(b, h * w, c)
         num = jnp.sum(sampled * t_all, axis=2)
         den = jnp.linalg.norm(sampled, axis=2) * jnp.linalg.norm(t_all, axis=2)
         # torch cosine_similarity clamps the denominator at eps

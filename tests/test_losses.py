@@ -164,6 +164,50 @@ def test_correctness_loss_matches_manual_oracle(rng):
     np.testing.assert_allclose(ours, ref, rtol=1e-4)
 
 
+def test_correctness_loss_resample2d_matches_manual_oracle(rng):
+    """The use_bilinear_sampling=False path (reference models/losses.py:332,
+    356-359): warped source comes from Resample2d(4,1,sigma=2) fed the
+    [-1,1] GRID as pixel offsets (reference quirk, preserved). Oracle =
+    the same torch bmm pipeline with the numpy brute-force resample2d."""
+    from test_ops_extensions import _resample2d_oracle
+
+    h = w = 16
+    target = rng.rand(2, h, w, 3).astype(np.float32)
+    source = rng.rand(2, h, w, 3).astype(np.float32)
+    flow = ((rng.rand(2, h, w, 2).astype(np.float32) * 2) - 1) * 0.8
+    mask = (rng.rand(2, h, w, 1) > 0.2).astype(np.float32)
+
+    feats = lambda img: {"relu1_1": img}
+    ours = float(correctness_loss(feats, jnp.asarray(target), jnp.asarray(source),
+                                  [jnp.asarray(flow)], [0], jnp.asarray(mask),
+                                  chunk=64, sampling="resample2d"))
+
+    tt = lambda x: torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    tv, sv = tt(target), tt(source)
+    b, c = 2, 3
+    eps = 1e-8
+    t_all = tv.reshape(b, c, -1)
+    s_all = sv.reshape(b, c, -1).transpose(1, 2)
+    s_n = s_all / (s_all.norm(dim=2, keepdim=True) + eps)
+    t_n = t_all / (t_all.norm(dim=1, keepdim=True) + eps)
+    corr = torch.bmm(s_n, t_n)
+    corr_max = corr.max(dim=1)[0]
+    sampled = tt(_resample2d_oracle(source, flow, 2.0, 4, 1)).reshape(b, c, -1)
+    corr_sample = F.cosine_similarity(sampled, t_all, dim=1)
+    loss_map = torch.exp(-corr_sample / (corr_max + eps))
+    m = tt(mask).reshape(-1, h * w)
+    ref = float((torch.sum(m * loss_map) - np.exp(-1.0)) / (torch.sum(m) + eps))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_correctness_loss_rejects_unknown_sampling(rng):
+    feats = lambda img: {"relu1_1": img}
+    x = jnp.zeros((1, 8, 8, 3))
+    with pytest.raises(ValueError, match="sampling"):
+        correctness_loss(feats, x, x, [jnp.zeros((1, 8, 8, 2))], [0],
+                         sampling="nearest")
+
+
 # ----------------------------------------------------------------- affine ---
 def test_affine_regularization_zero_for_affine_flow():
     """An exactly-affine sampling grid has zero non-affine energy."""

@@ -75,6 +75,24 @@ def test_flow_train_step(flow_setup, rng):
     assert int(state3.step) == 2
 
 
+def test_flow_train_step_resample2d_sampling(flow_setup, rng):
+    """correctness_sampling='resample2d' (the reference's
+    use_bilinear_sampling=False option) trains: loss finite, params move,
+    and the correctness term differs from the bilinear path's."""
+    model, state, tx, vgg_vars = flow_setup
+    step = make_flow_train_step(model, tx, correctness_sampling="resample2d")
+    batch = _flow_batch(rng)
+    state_in = jax.tree.map(jnp.copy, state)
+    state2, metrics = step(state_in, batch, vgg_vars)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert _max_delta(state.net.params, state2.net.params) > 0
+
+    _, bilinear_metrics = make_flow_train_step(model, tx)(
+        jax.tree.map(jnp.copy, state), batch, vgg_vars)
+    assert float(metrics["loss_cor"]) != float(bilinear_metrics["loss_cor"])
+
+
 def test_flow_train_step_bf16_compute(flow_setup, rng):
     """compute_dtype=bf16 on the flow step (train_flow.py --bf16): losses
     finite and close to the fp32 step's, every state leaf (params, Adam

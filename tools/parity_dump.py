@@ -36,6 +36,52 @@ def load_images(path, n, size=128):
     return np.stack(imgs), files
 
 
+def run(flownetf, netg, images, num=16, out="golden_fake_F128.npz",
+        torch_check=False, reference="/root/reference"):
+    """Dump golden fake_F128 tensors; with torch_check, also return the
+    divergence vs the live reference model as {'mean': ..., 'max': ...}."""
+    from ffwm_tpu.engine import build_models, make_ffwm_inference
+    from ffwm_tpu.utils.convert import load_pth
+
+    models = build_models()
+    flow_vars = load_pth(flownetf, "flownet")
+    gen_vars = load_pth(netg, "ffwm")
+    infer = make_ffwm_inference(models)
+
+    imgs, files = load_images(images, num)
+    res = infer(flow_vars, gen_vars, jnp.asarray(imgs), jnp.asarray(imgs))
+    fake = np.asarray(res["fake_F128"])
+    np.savez(out, fake_F128=fake, files=np.array(files))
+    print(f"wrote {fake.shape} golden tensors to {out}")
+    if not torch_check:
+        return None
+
+    import importlib.util
+
+    import torch
+
+    if not hasattr(np, "int"):
+        np.int = int  # numpy 2.x shim for the 2020-era reference
+    spec = importlib.util.spec_from_file_location(
+        "ref_nets", os.path.join(reference, "models/base_networks.py"))
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    t_flow = ref.FlowNet(64).eval()
+    t_flow.load_state_dict(torch.load(flownetf, map_location="cpu"))
+    t_gen = ref.FFWM(sn=True).eval()
+    t_gen.load_state_dict(torch.load(netg, map_location="cpu"))
+    t_in = torch.from_numpy(np.ascontiguousarray(
+        imgs.transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        f128, f64, f32 = t_flow(t_in)
+        _, _, ref_fake = t_gen(t_in, flow=[f32, f64, f128])
+    div = np.abs(fake - ref_fake.numpy().transpose(0, 2, 3, 1))
+    print(f"mean abs divergence: {div.mean():.2e} (gate: < 1e-3)  "
+          f"max: {div.max():.2e}")
+    return {"mean": float(div.mean()), "max": float(div.max())}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--flownetf", required=True)
@@ -48,47 +94,10 @@ def main():
                         "mean abs divergence (<1e-3 gate)")
     p.add_argument("--reference", default="/root/reference")
     args = p.parse_args()
-
-    from ffwm_tpu.engine import build_models, make_ffwm_inference
-    from ffwm_tpu.utils.convert import load_pth
-
-    models = build_models()
-    flow_vars = load_pth(args.flownetf, "flownet")
-    gen_vars = load_pth(args.netg, "ffwm")
-    infer = make_ffwm_inference(models)
-
-    imgs, files = load_images(args.images, args.num)
-    out = infer(flow_vars, gen_vars, jnp.asarray(imgs), jnp.asarray(imgs))
-    fake = np.asarray(out["fake_F128"])
-    np.savez(args.out, fake_F128=fake, files=np.array(files))
-    print(f"wrote {fake.shape} golden tensors to {args.out}")
-
-    if args.torch_check:
-        import importlib.util
-
-        import torch
-
-        if not hasattr(np, "int"):
-            np.int = int  # numpy 2.x shim for the 2020-era reference
-        spec = importlib.util.spec_from_file_location(
-            "ref_nets", os.path.join(args.reference, "models/base_networks.py"))
-        ref = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(ref)
-
-        t_flow = ref.FlowNet(64).eval()
-        t_flow.load_state_dict(torch.load(args.flownetf, map_location="cpu"))
-        t_gen = ref.FFWM(sn=True).eval()
-        t_gen.load_state_dict(torch.load(args.netg, map_location="cpu"))
-        t_in = torch.from_numpy(np.ascontiguousarray(
-            imgs.transpose(0, 3, 1, 2)))
-        with torch.no_grad():
-            f128, f64, f32 = t_flow(t_in)
-            _, _, ref_fake = t_gen(t_in, flow=[f32, f64, f128])
-        div = np.abs(fake - ref_fake.numpy().transpose(0, 2, 3, 1))
-        print(f"mean abs divergence: {div.mean():.2e} (gate: < 1e-3)  "
-              f"max: {div.max():.2e}")
-        if div.mean() >= 1e-3:
-            sys.exit(1)
+    div = run(args.flownetf, args.netg, args.images, args.num, args.out,
+              args.torch_check, args.reference)
+    if div is not None and div["mean"] >= 1e-3:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -72,18 +72,31 @@ def _face_like(rng: np.random.RandomState, size: int, identity_seed: int,
     return cv2.add(img, noise)
 
 
-def _landmark_pair(rng: np.random.RandomState, size: int, shift: int):
-    """Geometrically CONSISTENT (lm_S, lm_F): the same frontal points with
-    the profile copy offset by the pose shift — matching how the profile
-    image itself is generated (the blob shifted by `shift`). Independent
-    draws would make the landmark loss supervise a noise mapping, leaving
-    the flow nets unlearnable on synthetic data (and the illumination loss
-    fighting reconstruction, measured in the round-4 overfit proof)."""
-    base = rng.randint(size // 4, 3 * size // 4, (N_LANDMARKS, 2))
-    lm_f = base.astype(np.int64)
+def _identity_landmarks(identity_seed: int, size: int) -> np.ndarray:
+    """ONE frontal landmark set per identity (drawn from the identity seed,
+    so train/test splits regenerate the same points).
+
+    Keying matters as much as the draw: the loader — like the reference
+    (data/face_dataset.py:55-56) — reads lm_S from the PROFILE file's key
+    and lm_F from the FRONTAL file's key, so every camera's lm_S must be
+    derived from the SAME frontal point set that the 051 entry stores as
+    lm_F. The round-4 version drew a fresh base per camera and stored the
+    consistent pair under the profile key only; the (lm_S-from-profile-key,
+    lm_F-from-frontal-key) pair the trainer actually assembles was then two
+    unrelated draws — a noise mapping that left the flow nets unlearnable
+    (measured: ideal-shift flow scored landmark loss 120 vs 116 for the
+    identity flow; round-5 overfit proof failed at rank-1 3.9%)."""
+    lm_rng = np.random.RandomState(5000 + identity_seed)
+    # margin size//4 keeps the +-8 px pose shift from clipping at 64 px,
+    # preserving exact lm_S == lm_F + (shift, 0) correspondence everywhere
+    return lm_rng.randint(size // 4, 3 * size // 4,
+                          (N_LANDMARKS, 2)).astype(np.int64)
+
+
+def _shifted_landmarks(lm_f: np.ndarray, size: int, shift: int) -> np.ndarray:
     lm_s = lm_f.copy()
     lm_s[:, 0] = np.clip(lm_s[:, 0] + shift, 0, size - 1)
-    return lm_s, lm_f
+    return lm_s
 
 
 def make_synthetic_multipie(root: str, n_ids: int = 4,
@@ -101,6 +114,7 @@ def make_synthetic_multipie(root: str, n_ids: int = 4,
         lm_s, lm_f, gates = {}, {}, {}
         for i in ids:
             ident = f"{i + 1:03d}"
+            lm_frontal = _identity_landmarks(1000 + i, size)
             for cam in cameras:
                 shift = 0 if cam == "051" else (int(cam[:2]) % 5) * 4 - 8
                 fname = f"{ident}_01_01_{cam}_06.png"
@@ -110,7 +124,11 @@ def make_synthetic_multipie(root: str, n_ids: int = 4,
                 cv2.circle(mask, (size // 2 + shift, size // 2), size // 3, 255, -1)
                 cv2.imwrite(join(mask_dir, fname), mask)
                 key = fname[:-7]
-                lm_s[key], lm_f[key] = _landmark_pair(rng, size, shift)
+                # each file's lm_S = ITS view of the shared frontal points;
+                # its lm_F = the frontal points themselves — so any
+                # (profile-key lm_S, frontal-key lm_F) pair corresponds
+                lm_s[key] = _shifted_landmarks(lm_frontal, size, shift)
+                lm_f[key] = lm_frontal.copy()
                 gates[key] = (rng.rand(N_LANDMARKS) > 0.2).astype(np.float32)
                 if split == "train":
                     names.append(fname)

@@ -114,9 +114,13 @@ def make_flow_train_step(
         # 29.6 (vs 36.9 fp32) — the fastest AND the accurate one.
         loss_reg = multi_affine_regularization_loss(
             [to_f32(f) for f in (f32, f64, f128)]).astype(jnp.float32) * w_reg
+        # img_size = the actual finest-flow resolution: the reference's
+        # hard-coded 128 (losses.py:118 scale divisors) is only correct for
+        # 128 px data — at other load sizes it halves the landmark indices
+        # and scrambles the supervision (round-5 overfit-proof root cause #2)
         loss_lm = multiscale_landmark_loss(
             [f128, f64, f32], batch["lm_S"], batch["lm_F"],
-            cast(batch["gate"])).astype(jnp.float32)
+            cast(batch["gate"]), img_size=f128.shape[1]).astype(jnp.float32)
         loss = loss_cor + loss_reg + loss_lm
         new_net = NetState(params=new_net.params, extra=to_f32(new_net.extra))
         metrics = {

@@ -80,6 +80,60 @@ def test_landmark_loss_matches_oracle(rng):
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
 
 
+def test_multiscale_landmark_img_size_supervises_small_rasters(rng):
+    """img_size must be the ACTUAL finest-flow resolution: with 64 px flows
+    and geometrically consistent landmarks (lm_s = lm_f shifted in x), the
+    ideal shift flow must score far below a random flow. The reference's
+    hard-coded 128 halves the landmark indices at 64 px and scrambles the
+    supervision (round-5 overfit-proof root cause)."""
+    s, n, shift = 64, 200, 8
+    lm_f = rng.randint(s // 4, 3 * s // 4, (2, n, 2))
+    lm_s = lm_f.copy()
+    lm_s[..., 0] += shift
+    gate = np.ones((2, n, 2), np.float32)
+    ax = np.linspace(-1 + 1 / s, 1 - 1 / s, s, dtype=np.float32)
+    gx, gy = np.meshgrid(ax, ax, indexing="xy")
+    ideal = np.broadcast_to(
+        np.stack([gx + 2.0 * shift / s, gy], -1), (2, s, s, 2))
+
+    def pyramid(f):
+        return [jnp.asarray(f),
+                jnp.asarray(f[:, ::2, ::2]), jnp.asarray(f[:, ::4, ::4])]
+
+    args = (jnp.asarray(lm_s), jnp.asarray(lm_f), jnp.asarray(gate))
+    l_ideal = float(multiscale_landmark_loss(pyramid(ideal), *args,
+                                             img_size=s))
+    rand = (rng.rand(2, s, s, 2).astype(np.float32) * 2) - 1
+    l_rand = float(multiscale_landmark_loss(pyramid(rand), *args, img_size=s))
+    assert l_ideal < 15, l_ideal  # scale-quantization floor (~9), not ~0
+    assert l_rand > 20 * l_ideal, (l_ideal, l_rand)
+
+
+def test_synthetic_landmarks_consistent_across_keys():
+    """The loader reads lm_S from the PROFILE key and lm_F from the FRONTAL
+    key (reference data/face_dataset.py:55-56) — those two entries must be
+    the same physical points, differing only by the camera's x shift. The
+    round-4 generator drew a fresh set per camera, making the assembled
+    (lm_S, lm_F) pair pure noise; flows were unlearnable."""
+    import os
+    import tempfile
+
+    from ffwm_tpu.data.synthetic import make_synthetic_multipie
+
+    with tempfile.TemporaryDirectory() as root:
+        make_synthetic_multipie(root, n_ids=2, cameras=("051", "041", "050"),
+                                size=64, n_test_ids=1)
+        d = np.load(os.path.join(root, "multipie", "train", "landmarks.npy"),
+                    allow_pickle=True).item()
+        # shift = (int(cam[:2]) % 5) * 4 - 8 (synthetic.py pose model)
+        for cam, shift in (("041", 8), ("050", -8), ("051", 0)):
+            lm_s = d["lm_S"][f"001_01_01_{cam}"]
+            lm_f = d["lm_F"]["001_01_01_051"]  # what the loader pairs it with
+            diff = lm_s - lm_f
+            assert (diff[:, 1] == 0).all()
+            assert (diff[:, 0] == shift).all(), (cam, np.unique(diff[:, 0]))
+
+
 def test_multiscale_landmark_weights(rng):
     n = 10
     flows = [jnp.asarray((rng.rand(1, s, s, 2).astype(np.float32) * 2) - 1)

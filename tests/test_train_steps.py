@@ -204,7 +204,7 @@ def test_reverse_flow_training_semantics(flow_setup, rng):
         + multi_affine_regularization_loss([f32, f64, f128]) * 0.01
         + multiscale_landmark_loss(
             [f128, f64, f32], jnp.asarray(raw["lm_F"], jnp.int32),
-            jnp.asarray(raw["lm_S"], jnp.int32), gate2)
+            jnp.asarray(raw["lm_S"], jnp.int32), gate2, img_size=S)
     )
     np.testing.assert_allclose(float(metrics["loss"]), float(loss), rtol=1e-5)
 

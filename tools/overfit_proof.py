@@ -21,10 +21,12 @@ Pass criteria (defaults; see --help): overall rank-1 >= 0.90 and masked L1
 data, so the floor is ~7x below start). Prints one JSON line; exit 0 iff ok.
 
 Reference semantics targeted: /root/reference/test_ffwm.py:60-72 (protocol),
-util/util.py:141-181 (meter). Numbers from the real-chip run are recorded in
-BASELINE.md (round-4).
+util/util.py:141-181 (meter). Recorded real-chip run (BASELINE.md round-5):
+rank-1 1.0 (104/104), masked L1 0.0079, ok=true — after fixing the two
+synthetic-supervision bugs the round-5 run exposed (landmark keying across
+views; img_size scale divisors, see losses/landmark.py).
 
-Run (TPU ~15 min warm cache, dominated by train steps):
+Run (TPU ~50 min warm cache, dominated by the 160-epoch GAN stage):
     python tools/overfit_proof.py --workdir /tmp/overfit
 """
 
@@ -59,8 +61,11 @@ def parse_args():
     p.add_argument("--ids", type=int, default=8)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--lightcnn_epochs", type=int, default=3)
-    p.add_argument("--flow_epochs", type=int, default=15)
-    p.add_argument("--ffwm_epochs", type=int, default=40)
+    # defaults = the recorded passing configuration (BASELINE.md round-5):
+    # 40/160 epochs reach rank-1 1.0 / masked L1 0.0079; at 15/40 the GAN
+    # stage is still mid-descent (rank-1 0.20, L1 0.098)
+    p.add_argument("--flow_epochs", type=int, default=40)
+    p.add_argument("--ffwm_epochs", type=int, default=160)
     p.add_argument("--rank1_floor", type=float, default=0.90)
     p.add_argument("--l1_ceiling", type=float, default=0.035)
     p.add_argument("--skip_to", default="",

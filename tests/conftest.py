@@ -73,3 +73,10 @@ def pytest_configure(config):
         "markers", "slow: multi-minute tests (subprocess multi-host runs, "
         "e2e CLI epochs) — deselect with -m 'not slow' for a quick pass"
     )
+    config.addinivalue_line(
+        "markers", "heavy: ~1-5 min compute tests (full train-step "
+        "executions, live-torch train-step parity, CLI eval e2e). Tiers: "
+        "-m 'not slow and not heavy' = smoke (<3 min on a 1-core host), "
+        "-m 'not slow' = full single-process coverage, no filter = "
+        "everything incl. subprocess multi-host runs"
+    )

@@ -49,6 +49,7 @@ def _run_cli(argv, monkeypatch):
     test_ffwm.main()
 
 
+@pytest.mark.heavy
 def test_eval_multipie(env, monkeypatch, capsys):
     _run_cli([
         "--dataroot", env["dataroot"], "--name", "ffwm",

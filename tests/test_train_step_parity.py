@@ -39,6 +39,7 @@ torch = pytest.importorskip("torch")
 
 REF = "/root/reference"
 pytestmark = [
+    pytest.mark.heavy,  # live-torch two-step runs: minutes on a 1-core host
     pytest.mark.reference,
     pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted"),
 ]

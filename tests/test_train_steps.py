@@ -75,6 +75,7 @@ def test_flow_train_step(flow_setup, rng):
     assert int(state3.step) == 2
 
 
+@pytest.mark.heavy
 def test_flow_train_step_resample2d_sampling(flow_setup, rng):
     """correctness_sampling='resample2d' (the reference's
     use_bilinear_sampling=False option) trains: loss finite, params move,
@@ -93,6 +94,7 @@ def test_flow_train_step_resample2d_sampling(flow_setup, rng):
     assert float(metrics["loss_cor"]) != float(bilinear_metrics["loss_cor"])
 
 
+@pytest.mark.heavy
 def test_flow_train_step_bf16_compute(flow_setup, rng):
     """compute_dtype=bf16 on the flow step (train_flow.py --bf16): losses
     finite and close to the fp32 step's, every state leaf (params, Adam
@@ -150,6 +152,7 @@ def test_bf16_step_keeps_extras_master_precision(flow_setup, rng):
     assert checked >= 5  # flownet has many BN layers
 
 
+@pytest.mark.heavy
 def test_reverse_flow_training_semantics(flow_setup, rng):
     """Pin the --reverse double-handling: adapt_batch swaps S/F roles AND
     the step feeds batch['img_F'] (the original *profile*) to the flownet —
@@ -219,6 +222,7 @@ def test_flow_checkpoint_roundtrip(flow_setup, tmp_path):
         np.asarray(jax.tree.leaves(state.net.variables["params"])[0]))
 
 
+@pytest.mark.heavy
 def test_ffwm_train_step(rng):
     models = build_models()
     state, txs = create_ffwm_train_state(jax.random.PRNGKey(0), models, image_size=S)
@@ -300,6 +304,7 @@ def test_set_lr_and_schedules():
     assert pt.update(1.0) == 2e-4     # second bad epoch -> decay
 
 
+@pytest.mark.heavy
 def test_ffwm_train_step_bf16_compute(rng):
     """compute_dtype=bf16: bf16 forward/backward with fp32 master state —
     losses finite, every state leaf (params, Adam moments, BN stats,
@@ -330,6 +335,7 @@ def test_ffwm_train_step_bf16_compute(rng):
         assert leaf.dtype != jnp.bfloat16, jax.tree_util.keystr(path)
 
 
+@pytest.mark.heavy
 def test_ffwm_train_step_loss_ablation(rng):
     """loss_families structurally removes loss terms (the profile tool's
     marginal-cost knob): disabled metrics are exactly 0 and loss_G is the

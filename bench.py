@@ -111,7 +111,7 @@ def main():
     #   2. each train bench starts only while under ~2/3 of the budget —
     #      skipped ones are marked "skipped", never silently absent.
     t_start = time.perf_counter()
-    budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "700"))
 
     # The tunneled TPU plugin can hang indefinitely in backend init when
     # the tunnel is down; fail loudly instead of stalling the driver. A
@@ -130,6 +130,9 @@ def main():
     print(f"# device: {dev.platform} {dev.device_kind}", file=sys.stderr)
 
     results = {}
+    el = lambda: time.perf_counter() - t_start  # phase timestamps: the wall
+    # is dominated by tunnel weather (executable-load round trips vary 3x
+    # run-to-run even with full cache hits), so record where it went
     for name, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
         best, best_b = 0.0, 0
         for batch in (128,):
@@ -139,7 +142,8 @@ def main():
                 print(f"# {name} b={batch}: {type(e).__name__}: {e}",
                       file=sys.stderr)
                 break
-            print(f"# {name} b={batch}: {ips:.1f} img/s", file=sys.stderr)
+            print(f"# {name} b={batch}: {ips:.1f} img/s [t={el():.0f}s]",
+                  file=sys.stderr)
             if ips > best:
                 best, best_b = ips, batch
         results[name] = (best, best_b)
@@ -180,7 +184,7 @@ def main():
         train = {key: None for key, _ in train_specs}
     else:
         for key, fn in train_specs:
-            elapsed = time.perf_counter() - t_start
+            elapsed = el()
             if elapsed > budget * 2 / 3:
                 print(f"# {key}: skipped ({elapsed:.0f}s elapsed > 2/3 of "
                       f"{budget:.0f}s budget)", file=sys.stderr)
@@ -191,6 +195,14 @@ def main():
             except Exception as e:  # must never sink the driver bench
                 print(f"# {key}: {type(e).__name__}: {e}", file=sys.stderr)
                 train[key] = None
+            # re-print the extended JSON after EVERY train bench: the driver
+            # takes the LAST parseable line, so even a hard kill mid-train-
+            # phase records everything measured so far ("skipped"/absent
+            # keys mark the rest) — no single long phase can sink the record
+            done = {**base, **train,
+                    **{k: "skipped" for k, _ in train_specs if k not in train}}
+            print(json.dumps(done), flush=True)
+            print(f"# {key} done [t={el():.0f}s]", file=sys.stderr)
 
     print(json.dumps({**base, **train}), flush=True)
 

@@ -66,6 +66,7 @@ def test_eval_multipie(env, monkeypatch, capsys):
     assert any(f.endswith("_img_S.png") for f in files)
 
 
+@pytest.mark.heavy
 def test_eval_lfw(env, monkeypatch):
     _run_cli([
         "--dataroot", env["dataroot"], "--name", "ffwm",

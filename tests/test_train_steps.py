@@ -53,6 +53,7 @@ def flow_setup():
     return model, state, tx, vgg_vars
 
 
+@pytest.mark.heavy
 def test_flow_train_step(flow_setup, rng):
     model, state, tx, vgg_vars = flow_setup
     step = make_flow_train_step(model, tx)
@@ -116,6 +117,7 @@ def test_flow_train_step_bf16_compute(flow_setup, rng):
     assert rel < 0.05, rel
 
 
+@pytest.mark.heavy
 def test_bf16_step_keeps_extras_master_precision(flow_setup, rng):
     """BN running stats must NOT be round-tripped through bf16 by the bf16
     step (round-3 review finding): a sub-bf16-resolution perturbation of the

@@ -145,3 +145,19 @@ def test_profiling_utils():
     assert m.update(10, 1.0) == 10.0
     with device_trace(None):
         pass
+
+
+def test_checkpoint_num_classes(rng):
+    """v2-style heads are bias-free (reference lightcnn/light_cnn.py:131-174)
+    — the helper must fall back to the kernel's output dim instead of
+    KeyError-ing (ADVICE r4), and must name the checkpoint when fc2 is
+    missing entirely."""
+    from ffwm_tpu.models.lightcnn import checkpoint_num_classes
+
+    k = rng.rand(256, 79077).astype(np.float32)
+    with_bias = {"params": {"fc2": {"kernel": k, "bias": np.zeros(79077)}}}
+    assert checkpoint_num_classes(with_bias) == 79077
+    bias_free = {"params": {"fc2": {"kernel": k}}}
+    assert checkpoint_num_classes(bias_free) == 79077
+    with pytest.raises(ValueError, match="my_ckpt.pth"):
+        checkpoint_num_classes({"params": {"conv1": {}}}, what="my_ckpt.pth")

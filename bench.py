@@ -197,10 +197,12 @@ def main():
                 train[key] = None
             # re-print the extended JSON after EVERY train bench: the driver
             # takes the LAST parseable line, so even a hard kill mid-train-
-            # phase records everything measured so far ("skipped"/absent
-            # keys mark the rest) — no single long phase can sink the record
+            # phase records everything measured so far. Not-yet-attempted
+            # keys are marked "pending" (distinct from deliberate budget
+            # "skipped"s): if a later bench hard-kills the process, the
+            # record shows WHICH bench died rather than implying a skip
             done = {**base, **train,
-                    **{k: "skipped" for k, _ in train_specs if k not in train}}
+                    **{k: "pending" for k, _ in train_specs if k not in train}}
             print(json.dumps(done), flush=True)
             print(f"# {key} done [t={el():.0f}s]", file=sys.stderr)
 

@@ -104,6 +104,13 @@ def make_synthetic_multipie(root: str, n_ids: int = 4,
                             size: int = 128, seed: int = 0,
                             n_test_ids: int = 2) -> List[str]:
     """Build train+test splits; returns the list of train image names."""
+    if size < 32:
+        # landmarks are drawn in [size//4, 3*size//4) and pose shifts reach
+        # ±8 px; below 32 px the clip in _shifted_landmarks would silently
+        # break the exact lm_S == lm_F + (shift, 0) correspondence the flow
+        # supervision relies on (the round-5 overfit-proof bug class)
+        raise ValueError(f"size must be >= 32 (got {size}): the ±8 px pose "
+                         "shift would clip out of the landmark margin")
     rng = np.random.RandomState(seed)
     names = []
     for split, ids in (("train", range(n_ids)), ("test", range(n_test_ids))):

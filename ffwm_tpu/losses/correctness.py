@@ -113,8 +113,13 @@ def correctness_loss(
             sampled = warp(s, fl).reshape(b, h * w, c)      # bilinear grid warp
         else:
             # the grid is passed as-is as PIXEL offsets (reference quirk,
-            # see module docstring); Mosaic kernel on TPU, XLA elsewhere
-            if jax.default_backend() == "tpu":
+            # see module docstring). Mosaic kernel on a SINGLE TPU device
+            # only: unlike the warp kernel (warp_vmem_pallas.py
+            # _make_sharded_forward) this pallas_call has no
+            # custom_partitioning spec, so GSPMD cannot shard it over a
+            # multi-device mesh — there the XLA formulation (batch-sharded
+            # by GSPMD automatically) runs instead.
+            if jax.default_backend() == "tpu" and jax.device_count() == 1:
                 from ffwm_tpu.ops.kernels import resample2d_vmem as _r2d
             else:
                 from ffwm_tpu.ops.resample2d import resample2d as _r2d

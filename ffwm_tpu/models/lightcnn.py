@@ -149,15 +149,22 @@ def checkpoint_num_classes(lc_vars, what: str = "lightCNN") -> int:
     otherwise the mismatch would surface only at apply time deep inside the
     jitted train step.
     """
+    from collections.abc import Mapping
+
     import numpy as np
 
-    try:
-        fc2 = lc_vars["params"]["fc2"]
-    except (KeyError, TypeError):
+    fc2 = params = None
+    if isinstance(lc_vars, Mapping):
+        params = lc_vars.get("params")
+        if isinstance(params, Mapping):
+            fc2 = params.get("fc2")
+    if not isinstance(fc2, Mapping):
+        detail = (f"params keys: {sorted(params)[:8]}..."
+                  if isinstance(params, Mapping)
+                  else f"loaded object: {type(lc_vars).__name__}")
         raise ValueError(
             f"{what} checkpoint has no params/fc2 classifier head — is this "
-            "a LightCNN checkpoint? (keys: "
-            f"{sorted(lc_vars.get('params', {}))[:8]}...)") from None
+            f"a LightCNN checkpoint? ({detail})")
     arr = fc2.get("bias", fc2.get("kernel"))
     if arr is None:
         raise ValueError(f"{what} checkpoint fc2 has neither bias nor kernel")

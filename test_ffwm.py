@@ -66,10 +66,17 @@ def main():
     models = build_models()
     s = opt.load_size
     x = jnp.zeros((1, s, s, 3), jnp.float32)
-    flow_init = models.flownet.init(jax.random.PRNGKey(0), x, train=False)
     flows0 = tuple(jnp.zeros((1, t, t, 2)) for t in (s // 4, s // 2, s))
-    gen_init = models.gen.init(jax.random.PRNGKey(0), x, flows0, train=False)
-    lc_init = models.lightcnn.init(jax.random.PRNGKey(0), jnp.zeros((1, s, s, 1)))
+    # jitted inits: ONE cacheable program per net. Eager flax init dispatches
+    # hundreds of per-op compiles — ~0.5 s tunnel round trips each on the
+    # remote-compile TPU backend (the round-4 driver-bench-timeout cause);
+    # this path is what tools/acceptance.py stage 3 runs on the chip.
+    flow_init = jax.jit(
+        lambda k: models.flownet.init(k, x, train=False))(jax.random.PRNGKey(0))
+    gen_init = jax.jit(
+        lambda k: models.gen.init(k, x, flows0, train=False))(jax.random.PRNGKey(0))
+    lc_init = jax.jit(
+        lambda k: models.lightcnn.init(k, jnp.zeros((1, s, s, 1))))(jax.random.PRNGKey(0))
 
     flow_vars = load_variables(opt, "flowNetF", "flownet", flow_init)
     gen_vars = load_variables(opt, "netG", "ffwm", gen_init)

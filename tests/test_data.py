@@ -317,3 +317,11 @@ def test_facepp_throttle_pacing():
     assert len(sleeps) == 2 and all(s > 0 for s in sleeps)
     for a, b in zip(stamps, stamps[1:]):
         assert b - a >= 0.5 - 1e-9
+
+
+def test_synthetic_rejects_sub_margin_size(tmp_path):
+    """Below 32 px the ±8 px pose shift would clip out of the landmark
+    margin, silently breaking the exact lm_S == lm_F + shift correspondence
+    (the round-5 overfit-proof bug class) — must refuse instead."""
+    with pytest.raises(ValueError, match="size"):
+        make_synthetic_multipie(str(tmp_path), n_ids=1, size=16)

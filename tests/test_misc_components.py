@@ -161,3 +161,9 @@ def test_checkpoint_num_classes(rng):
     assert checkpoint_num_classes(bias_free) == 79077
     with pytest.raises(ValueError, match="my_ckpt.pth"):
         checkpoint_num_classes({"params": {"conv1": {}}}, what="my_ckpt.pth")
+    # non-mapping checkpoints (torch.load of a raw tensor/list) must still
+    # produce the diagnostic ValueError, not an AttributeError inside it
+    with pytest.raises(ValueError, match="list"):
+        checkpoint_num_classes([k], what="raw.pth")
+    with pytest.raises(ValueError, match="raw2.pth"):
+        checkpoint_num_classes({"params": {"fc2": k}}, what="raw2.pth")

@@ -130,12 +130,15 @@ def main():
 
     torch_check = (not args.no_torch_check and
                    os.path.isdir(os.path.join(args.reference, "models")))
-    div = parity_dump.run(
-        args.flownetf, args.netg,
-        os.path.join(args.dataroot, "multipie", "test", "images"),
-        num=args.num_parity,
-        out=os.path.join(args.workdir, "golden_fake_F128.npz"),
-        torch_check=torch_check, reference=args.reference)
+    # keep stdout pure (the documented contract is ONE JSON line on stdout):
+    # parity_dump narrates its progress via print — route it to stderr
+    with contextlib.redirect_stdout(sys.stderr):
+        div = parity_dump.run(
+            args.flownetf, args.netg,
+            os.path.join(args.dataroot, "multipie", "test", "images"),
+            num=args.num_parity,
+            out=os.path.join(args.workdir, "golden_fake_F128.npz"),
+            torch_check=torch_check, reference=args.reference)
     if div is None:
         result.update(parity_mean=None, parity_max=None, parity_ok=None)
     else:
